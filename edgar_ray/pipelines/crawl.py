@@ -1,0 +1,214 @@
+"""End-to-end BFS crawl + extract pipeline (the flagship).
+
+Wave loop (3 waves: query -> filing index -> R-report, exactly the
+reference's page graph /root/reference/page.go:42-73):
+
+  seed frontier ──admit──> fetch (pages table ⋈ admitted urls)
+      ──map_batches(parse)──> next wave candidates ──admit──> …
+  wave-2 pages ──map_batches(extract_facts)──> facts_raw
+      ──groupby(accession).map_groups(merge)──> filings_facts
+
+"Fetch" = lookup in the Common-Crawl-style ``pages`` Parquet table (the html
+column stands in for live HTTP per the input contract); Ray task retries
+replace the reference's ``log.Fatal`` (/root/reference/page.go:24).
+
+Scale notes (100 TB pages / 10^10 URLs):
+- each wave re-reads ``pages`` with column pruning and filters zero-copy by a
+  BROADCAST admitted-key set (``ray.put`` once, read per task) while the wave
+  fits in memory; above ``join_threshold`` rows it switches to a
+  hash-partitioned ``Dataset.join`` on url — no driver materialization of page
+  bytes ever happens in either path;
+- the hot-host fetch skew (everything is sec.gov) is handled by salting the
+  fetch partition purely on sha1(url) (the filter is key-local), while
+  politeness stays host-global inside the frontier shards;
+- checkpoint per wave: admitted table + next-wave candidates + cuckoo shards +
+  per-shard lineage -> a killed run resumes from the last complete wave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..stages.extract import (
+    extract_facts,
+    parse_index_pages,
+    parse_query_pages,
+    seed_frontier,
+)
+from ..stages.merge import merge_facts
+from ..state.frontier import Frontier
+
+_WAVE_PARSERS = {0: parse_query_pages, 1: parse_index_pages}
+_META_COLS = ["ticker", "cik", "filing_type", "filed_date", "accession",
+              "doc_type", "report_num", "seed_rank"]
+
+
+@dataclass
+class CrawlResult:
+    filings_facts: Any  # ray.data.Dataset
+    crawl_order: pa.Table
+    lineage: pa.Table
+    metrics: dict = field(default_factory=dict)
+
+
+class _FetchStage:
+    """Filter a pages batch to the admitted url set and attach frontier
+    metadata (broadcast-small-side hash join, SURVEY.md §2.4 J1)."""
+
+    def __init__(self, meta_ref):
+        self.meta = ray.get(meta_ref) if not isinstance(meta_ref, dict) else meta_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        keep = [i for i, u in enumerate(urls) if u in self.meta]
+        if not keep:
+            return _empty_fetch(batch)
+        sub = batch.take(pa.array(keep, pa.int64()))
+        metas = [self.meta[u] for u in sub["url"].to_pylist()]
+        for ci, col in enumerate(_META_COLS):
+            typ = pa.int32() if col in ("report_num", "seed_rank") else pa.string()
+            sub = sub.append_column(col, pa.array([m[ci] for m in metas], typ))
+        return sub
+
+
+def _empty_fetch(batch: pa.Table) -> pa.Table:
+    sub = batch.slice(0, 0)
+    for col in _META_COLS:
+        typ = pa.int32() if col in ("report_num", "seed_rank") else pa.string()
+        sub = sub.append_column(col, pa.array([], typ))
+    return sub
+
+
+def _meta_dict(admitted: pa.Table) -> dict[str, tuple]:
+    cols = {c: admitted[c].to_pylist() for c in ["url"] + _META_COLS}
+    return {
+        cols["url"][i]: tuple(cols[c][i] for c in _META_COLS)
+        for i in range(admitted.num_rows)
+    }
+
+
+def _fetch_wave(pages_source, admitted: pa.Table, join_threshold: int):
+    """pages ⋈ admitted urls -> Dataset of page rows + frontier metadata."""
+    pages_ds = pages_source()
+    if admitted.num_rows <= join_threshold:
+        meta_ref = ray.put(_meta_dict(admitted))
+        return pages_ds.map_batches(
+            _FetchStage,
+            fn_constructor_args=(meta_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    # large-wave path: hash-partitioned join on url (no broadcast)
+    admitted_ds = rd.from_arrow(admitted.select(["url"] + _META_COLS))
+    return pages_ds.join(
+        admitted_ds, join_type="inner", on=("url",),
+        num_partitions=max(16, admitted.num_rows // 500_000),
+    )
+
+
+def _collect_table(ds) -> pa.Table:
+    """Materialize a (frontier-metadata-sized) Dataset to one Arrow table."""
+    refs = ds.to_arrow_refs()
+    tbls = [t for t in ray.get(refs) if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls, promote_options="default")
+
+
+def crawl(
+    pages_path: str | list[str] | None,
+    seed_tickers: pa.Table,
+    *,
+    pages_ds_factory=None,
+    filing_types: tuple[str, ...] = ("10-K", "10-Q"),
+    num_shards: int = 4,
+    capacity: int = 1 << 18,
+    host_budget: float = 1000.0,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    join_threshold: int = 200_000,
+    stop_after_wave: int | None = None,
+) -> CrawlResult:
+    """Run the 3-wave crawl over a pages table. Returns the merged
+    filings_facts Dataset (lazy) plus crawl order / lineage tables."""
+    import time
+
+    if pages_ds_factory is None:
+        cols = ["url", "html"]
+        pages_ds_factory = lambda: rd.read_parquet(pages_path, columns=cols)  # noqa: E731
+
+    frontier = Frontier(num_shards=num_shards, capacity=capacity,
+                        host_budget=host_budget)
+    manifest_path = os.path.join(checkpoint_dir, "MANIFEST.json") if checkpoint_dir else None
+    completed: dict[str, Any] = {"waves": []}
+    start_wave = 0
+    candidates = seed_frontier(seed_tickers, filing_types)
+    admitted_tables: list[pa.Table] = []
+
+    if resume and manifest_path and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            completed = json.load(f)
+        done_waves = completed["waves"]
+        if done_waves:
+            last = max(done_waves)
+            frontier.restore(checkpoint_dir)
+            for w in sorted(done_waves):
+                admitted_tables.append(
+                    pq.read_table(os.path.join(checkpoint_dir, f"wave{w}_admitted.parquet"))
+                )
+            nxt = os.path.join(checkpoint_dir, f"wave{last}_next.parquet")
+            candidates = pq.read_table(nxt) if os.path.exists(nxt) else None
+            start_wave = last + 1
+
+    t0 = time.monotonic()
+    pages_fetched = 0
+    facts_ds = None
+    for wave in range(start_wave, 3):
+        if candidates is None or candidates.num_rows == 0:
+            break
+        admitted = frontier.admit_wave(candidates, wave)
+        admitted_tables.append(admitted)
+        fetched = _fetch_wave(pages_ds_factory, admitted, join_threshold)
+        if wave < 2:
+            parsed = fetched.map_batches(_WAVE_PARSERS[wave], batch_format="pyarrow")
+            candidates = _collect_table(parsed)
+        else:
+            facts_raw = fetched.map_batches(extract_facts, batch_format="pyarrow")
+            facts_ds = merge_facts(facts_raw)
+            candidates = None
+        pages_fetched += admitted.num_rows
+
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            pq.write_table(admitted, os.path.join(checkpoint_dir, f"wave{wave}_admitted.parquet"))
+            if candidates is not None:
+                pq.write_table(candidates, os.path.join(checkpoint_dir, f"wave{wave}_next.parquet"))
+            frontier.checkpoint(checkpoint_dir)
+            completed["waves"] = sorted(set(completed["waves"]) | {wave})
+            with open(manifest_path, "w") as f:
+                json.dump(completed, f)
+        if stop_after_wave is not None and wave >= stop_after_wave:
+            break
+
+    order_cols = ["seq", "wave", "url", "url_sha1", "host", "scheduled_at"]
+    crawl_order = (
+        pa.concat_tables([t.select(order_cols) for t in admitted_tables])
+        if admitted_tables else pa.table({c: [] for c in order_cols})
+    )
+    lineage = frontier.lineage_table()
+    elapsed = time.monotonic() - t0
+    metrics = {
+        "frontier_urls": int(crawl_order.num_rows),
+        "pages_fetched": pages_fetched,
+        "elapsed_sec": elapsed,
+        "urls_per_sec": crawl_order.num_rows / elapsed if elapsed > 0 else 0.0,
+    }
+    return CrawlResult(facts_ds, crawl_order, lineage, metrics)

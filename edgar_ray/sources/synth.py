@@ -349,9 +349,13 @@ def render_query_page(ticker: str, filing_type: str, filings: list[FilingSpec],
     for i, f in enumerate(filings):
         rows.append(filing_row(filing_type, f, f.filed_date, i))
         if i == 0:
-            # exact-duplicate row (same URL) — exercises frontier dedup; the
-            # reference's date-keyed map overwrite makes it harmless.
-            rows.append(filing_row(filing_type, f, f.filed_date, i))
+            # duplicate listing of the same viewer URL under a one-day-older
+            # date — the reference keeps both dates in FilingLinks
+            # (/root/reference/parser.go:47) but its visit set is unique URLs;
+            # the frontier's cuckoo filter must dedup this.
+            y, m, d = f.filed_date.split("-")
+            dup_date = f"{y}-{m}-{max(1, int(d) - 1):02d}"
+            rows.append(filing_row(filing_type, f, dup_date, i))
     # AMEND row (dropped: type mismatch) and pre-2012 row (dropped: threshold)
     amend = filings[0]
     rows.insert(1, filing_row(filing_type + "/A", amend, amend.filed_date, 90))
@@ -607,7 +611,11 @@ def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42
         for d in fs.docs:
             url = fs.report_url(d.report_num)
             pages.append((url, render_report_page(d)))
-            crawl.append((url, 2, fs.seed_rank, fs.filing_type, fs.filed_date, d.report_num))
+            # Ignore-classified docs (Parenthetical) exist in the pages table
+            # but are never mapped, hence never crawled
+            # (/root/reference/reportmap.go:139-142).
+            if d.doc_type in DOC_MERGE_PRIORITY:
+                crawl.append((url, 2, fs.seed_rank, fs.filing_type, fs.filed_date, d.report_num))
 
     # pages table (shuffled deterministically so readers can't rely on order)
     rng = np.random.default_rng(seed)

@@ -1,0 +1,226 @@
+"""Stateless ``map_batches`` stages: URL classing, page parsing, fact extraction.
+
+Arrow in / Arrow out (``batch_format="pyarrow"``). Each stage carries the
+frontier metadata of its input rows through to its outputs so the downstream
+merge never needs a side lookup. The HTML walk itself is per-page Python (the
+page is the vectorization unit — one token stream per document, exactly the
+reference's unit of work, /root/reference/parser.go); everything row-shaped
+around it stays in Arrow.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+
+from ..functions.parse import (
+    extracted_text,
+    filing_page_parser,
+    fin_report_raw,
+    query_page_parser,
+)
+
+BASE_URL = "https://www.sec.gov"
+
+# page classes (derivable from URL shape alone)
+CLASS_QUERY = "query"
+CLASS_INDEX = "index"
+CLASS_REPORT = "report"
+CLASS_OTHER = "other"
+
+_RE_CIK = re.compile(r"[?&]CIK=([^&]+)", re.I)
+_RE_TYPE = re.compile(r"[?&]type=([^&]+)")
+_RE_ACC = re.compile(r"[?&]accession_number=([^&]+)")
+_RE_VIEW_CIK = re.compile(r"[?&]cik=(\d+)")
+_RE_REPORT = re.compile(r"/Archives/edgar/data/(\d+)/(\d+)/R(\d+)\.htm")
+
+
+def classify_url(url: str) -> str:
+    """URL -> page class (mirrors the reference's three fetch sites:
+    /root/reference/page.go:13,55,58)."""
+    if "browse-edgar" in url and "action=getcompany" in url:
+        return CLASS_QUERY
+    if "cgi-bin/viewer" in url and "accession_number=" in url:
+        return CLASS_INDEX
+    if _RE_REPORT.search(url):
+        return CLASS_REPORT
+    return CLASS_OTHER
+
+
+def url_host(url: str) -> str:
+    return urlsplit(url).netloc or ""
+
+
+def absolutize(href: str) -> str:
+    return href if href.startswith("http") else BASE_URL + href
+
+
+FRONTIER_COLS = [
+    "url", "host", "depth", "ticker", "cik", "filing_type", "filed_date",
+    "accession", "doc_type", "report_num", "seed_rank",
+]
+
+
+def _frontier_table(rows: dict[str, list]) -> pa.Table:
+    n = len(rows["url"])
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "host": pa.array([url_host(u) for u in rows["url"]], pa.string()),
+            "depth": pa.array(rows["depth"], pa.int32()),
+            "ticker": pa.array(rows["ticker"], pa.string()),
+            "cik": pa.array(rows["cik"], pa.string()),
+            "filing_type": pa.array(rows["filing_type"], pa.string()),
+            "filed_date": pa.array(rows["filed_date"], pa.string()),
+            "accession": pa.array(rows["accession"], pa.string()),
+            "doc_type": pa.array(rows["doc_type"], pa.string()),
+            "report_num": pa.array(rows["report_num"], pa.int32()),
+            "seed_rank": pa.array(rows["seed_rank"], pa.int32()),
+        }
+    ) if n else pa.table({c: pa.array([], t) for c, t in [
+        ("url", pa.string()), ("host", pa.string()), ("depth", pa.int32()),
+        ("ticker", pa.string()), ("cik", pa.string()), ("filing_type", pa.string()),
+        ("filed_date", pa.string()), ("accession", pa.string()),
+        ("doc_type", pa.string()), ("report_num", pa.int32()),
+        ("seed_rank", pa.int32()),
+    ]})
+
+
+def seed_frontier(seed_tickers: pa.Table, filing_types: tuple[str, ...] = ("10-K", "10-Q")
+                  ) -> pa.Table:
+    """Seed (wave-0) frontier: one query URL per (ticker, filing type)
+    (/root/reference/page.go:13,42-52)."""
+    rows = {c: [] for c in ("url", "depth", "ticker", "cik", "filing_type",
+                            "filed_date", "accession", "doc_type", "report_num",
+                            "seed_rank")}
+    tickers = seed_tickers["ticker"].to_pylist()
+    ciks = seed_tickers["cik"].to_pylist()
+    ranks = seed_tickers["seed_rank"].to_pylist()
+    for ticker, cik, rank in zip(tickers, ciks, ranks):
+        for ft in filing_types:
+            url = (f"{BASE_URL}/cgi-bin/browse-edgar?action=getcompany&CIK={ticker}"
+                   f"&type={ft}&dateb=&owner=include&count=10&action=getcompany")
+            rows["url"].append(url)
+            rows["depth"].append(0)
+            rows["ticker"].append(ticker)
+            rows["cik"].append(cik)
+            rows["filing_type"].append(ft)
+            rows["filed_date"].append("")
+            rows["accession"].append("")
+            rows["doc_type"].append("")
+            rows["report_num"].append(0)
+            rows["seed_rank"].append(rank)
+    return _frontier_table(rows)
+
+
+def parse_query_pages(batch: pa.Table) -> pa.Table:
+    """Query pages -> wave-1 frontier rows (viewer/index URLs).
+
+    One input row per fetched query page (url, html + frontier metadata);
+    output: one row per kept filing (AMEND + pre-threshold already dropped by
+    the parser, /root/reference/parser.go:34-53).
+    """
+    rows = {c: [] for c in ("url", "depth", "ticker", "cik", "filing_type",
+                            "filed_date", "accession", "doc_type", "report_num",
+                            "seed_rank")}
+    cols = batch.to_pydict()
+    for i in range(batch.num_rows):
+        html = cols["html"][i]
+        ft = cols["filing_type"][i]
+        links = query_page_parser(html, ft)
+        for date, href in links.items():
+            m = _RE_ACC.search(href)
+            rows["url"].append(absolutize(href.replace("&amp;", "&")))
+            rows["depth"].append(1)
+            rows["ticker"].append(cols["ticker"][i])
+            # carry the seed-table CIK (zero-padded, the J1 broadcast lookup
+            # /root/reference/page.go:30-39), not the URL's integer form
+            rows["cik"].append(cols["cik"][i])
+            rows["filing_type"].append(ft)
+            rows["filed_date"].append(date)
+            rows["accession"].append(m.group(1) if m else "")
+            rows["doc_type"].append("")
+            rows["report_num"].append(0)
+            rows["seed_rank"].append(cols["seed_rank"][i])
+    return _frontier_table(rows)
+
+
+def parse_index_pages(batch: pa.Table) -> pa.Table:
+    """Filing index pages -> wave-2 frontier rows (one per classified R-doc,
+    /root/reference/parser.go:86-127 + reportmap.go:114-169)."""
+    rows = {c: [] for c in ("url", "depth", "ticker", "cik", "filing_type",
+                            "filed_date", "accession", "doc_type", "report_num",
+                            "seed_rank")}
+    cols = batch.to_pydict()
+    for i in range(batch.num_rows):
+        docs = filing_page_parser(cols["html"][i], cols["filing_type"][i])
+        for doc_type, href in docs.items():
+            m = _RE_REPORT.search(href)
+            rows["url"].append(absolutize(href))
+            rows["depth"].append(2)
+            rows["ticker"].append(cols["ticker"][i])
+            rows["cik"].append(cols["cik"][i])
+            rows["filing_type"].append(cols["filing_type"][i])
+            rows["filed_date"].append(cols["filed_date"][i])
+            rows["accession"].append(cols["accession"][i])
+            rows["doc_type"].append(doc_type)
+            rows["report_num"].append(int(m.group(3)) if m else 0)
+            rows["seed_rank"].append(cols["seed_rank"][i])
+    return _frontier_table(rows)
+
+
+FACTS_RAW_FIELDS = [
+    ("ticker", pa.string()), ("cik", pa.string()), ("accession", pa.string()),
+    ("filing_type", pa.string()), ("filed_date", pa.string()),
+    ("doc_type", pa.string()), ("report_num", pa.int32()),
+    ("row_idx", pa.int32()), ("cells", pa.list_(pa.string())),
+    ("headings", pa.list_(pa.string())),
+]
+
+
+def extract_facts(batch: pa.Table) -> pa.Table:
+    """R-report pages -> long-format facts_raw rows.
+
+    One output row per parsed table row (cells = list<string>, document
+    order preserved via row_idx for first-write-wins determinism,
+    /root/reference/data_def.go:205); a row_idx=-1 row carries the heading
+    strings that drive scale inference (/root/reference/parser.go:307-316).
+    """
+    out = {name: [] for name, _ in FACTS_RAW_FIELDS}
+    cols = batch.to_pydict()
+
+    def emit(i: int, row_idx: int, cells: list[str], headings: list[str]) -> None:
+        out["ticker"].append(cols["ticker"][i])
+        out["cik"].append(cols["cik"][i])
+        out["accession"].append(cols["accession"][i])
+        out["filing_type"].append(cols["filing_type"][i])
+        out["filed_date"].append(cols["filed_date"][i])
+        out["doc_type"].append(cols["doc_type"][i])
+        out["report_num"].append(cols["report_num"][i])
+        out["row_idx"].append(row_idx)
+        out["cells"].append(cells)
+        out["headings"].append(headings)
+
+    for i in range(batch.num_rows):
+        headings, rows = fin_report_raw(cols["html"][i])
+        emit(i, -1, [], headings)
+        for idx, cells in rows:
+            emit(i, idx, cells, [])
+    return pa.table({name: pa.array(out[name], typ) for name, typ in FACTS_RAW_FIELDS})
+
+
+def verify_text(batch: pa.Table) -> pa.Table:
+    """Per-row invariant stage: recompute the canonical extracted text from
+    html and compare against the stored ``text`` column (the input_hint
+    byte-identity check). Emits one row per page with a match flag."""
+    cols = batch.to_pydict()
+    matches = [extracted_text(u, h) == t
+               for u, h, t in zip(cols["url"], cols["html"], cols["text"])]
+    return pa.table(
+        {
+            "url": pa.array(cols["url"], pa.string()),
+            "text_match": pa.array(matches, pa.bool_()),
+        }
+    )

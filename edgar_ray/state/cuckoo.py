@@ -1,0 +1,139 @@
+"""Cuckoo filter for the URL-seen set (north rule D5).
+
+Standard partial-key cuckoo hashing (Fan et al., "Cuckoo Filter: Practically
+Better Than Bloom", CoNEXT 2014 — public algorithm): 4-slot buckets, 16-bit
+fingerprints, alternate bucket = bucket XOR hash(fingerprint). Backed by one
+numpy uint16 array so a shard serializes to a single binary blob for Parquet
+checkpointing.
+
+The nominal 10^10-key frontier is reached by SHARDING: each frontier shard
+owns ``capacity / num_shards`` keys (keys are routed by host hash, see
+frontier.py), so per-shard arrays stay object-store-sized. At 16 bits/slot a
+10^10-key filter is ~23 GiB total — 256 shards of ~93 MiB each on a 256-node
+cluster. Tests exercise small capacities; the sharding law is what scales.
+
+Replaces the reference's in-process map-key dedup (/root/reference/folder.go:43,
+parser.go:47).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EMPTY = 0
+_MAX_KICKS = 500
+_SLOTS = 4
+
+
+def _fingerprints(h: np.ndarray) -> np.ndarray:
+    """16-bit fingerprints from 64-bit hashes; never the empty sentinel."""
+    fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == _EMPTY] = 1
+    return fp
+
+
+def _alt_bucket(bucket: np.ndarray, fp: np.ndarray, mask: np.uint64) -> np.ndarray:
+    # standard partial-key displacement: i2 = i1 ^ H(fp)
+    fp_hash = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & mask
+    return (bucket ^ fp_hash) & mask
+
+
+class CuckooFilter:
+    """One shard of the seen-set. ``capacity`` is rounded up to a power-of-two
+    bucket count; load factor ~0.95 is safe for 4-slot buckets."""
+
+    def __init__(self, capacity: int = 1 << 16, _table: np.ndarray | None = None):
+        if _table is not None:
+            self.table = _table
+        else:
+            nbuckets = 1
+            while nbuckets * _SLOTS < capacity:
+                nbuckets <<= 1
+            self.table = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
+        self._mask = np.uint64(self.table.shape[0] - 1)
+        self._rng = np.random.default_rng(0xC0C0)
+        self.count = int(np.count_nonzero(self.table))
+
+    # -- vectorized membership ------------------------------------------------
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized lookup of uint64 key hashes -> bool array."""
+        h = hashes.astype(np.uint64, copy=False)
+        fp = _fingerprints(h)
+        b1 = (h & self._mask).astype(np.uint64)
+        b2 = _alt_bucket(b1, fp, self._mask)
+        t = self.table
+        hit = np.zeros(len(h), dtype=bool)
+        for s in range(_SLOTS):
+            hit |= t[b1, s] == fp
+            hit |= t[b2, s] == fp
+        return hit
+
+    # -- insertion (sequential; eviction chains don't vectorize) --------------
+
+    def _insert_one(self, b1: int, fp: int) -> bool:
+        t = self.table
+        mask = int(self._mask)
+        b2 = int(_alt_bucket(np.array([b1], np.uint64),
+                             np.array([fp], np.uint16), self._mask)[0])
+        for b in (b1, b2):
+            row = t[b]
+            empties = np.nonzero(row == _EMPTY)[0]
+            if len(empties):
+                row[empties[0]] = fp
+                self.count += 1
+                return True
+        b = b1 if self._rng.integers(2) else b2
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            slot = int(self._rng.integers(_SLOTS))
+            cur, t[b, slot] = int(t[b, slot]), cur
+            b = int(_alt_bucket(np.array([b], np.uint64),
+                                np.array([cur], np.uint16), self._mask)[0])
+            row = t[b]
+            empties = np.nonzero(row == _EMPTY)[0]
+            if len(empties):
+                row[empties[0]] = cur
+                self.count += 1
+                return True
+        return False  # filter over-full
+
+    def add_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Insert key hashes; returns bool array: True where the key was NEW
+        (i.e. not already present). Duplicate keys within the batch are
+        detected too (second occurrence reports False)."""
+        h = hashes.astype(np.uint64, copy=False)
+        fp = _fingerprints(h)
+        b1 = (h & self._mask).astype(np.uint64)
+        fresh = np.zeros(len(h), dtype=bool)
+        present = self.contains_many(h)
+        for i in range(len(h)):
+            if present[i]:
+                continue
+            # re-check against keys inserted earlier in this batch
+            if self.contains_many(h[i:i + 1])[0]:
+                continue
+            if self._insert_one(int(b1[i]), int(fp[i])):
+                fresh[i] = True
+        return fresh
+
+    # -- checkpoint -----------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        arr = np.frombuffer(blob, dtype=np.uint16).reshape(-1, _SLOTS).copy()
+        return cls(_table=arr)
+
+
+def hash_urls(urls: list[str] | np.ndarray) -> np.ndarray:
+    """Canonical uint64 key hash: first 8 bytes of sha1(url) — the same key
+    family as the golden crawl table's url_sha1 (FIXTURES.md §4)."""
+    import hashlib
+
+    out = np.empty(len(urls), dtype=np.uint64)
+    for i, u in enumerate(urls):
+        out[i] = int.from_bytes(hashlib.sha1(u.encode()).digest()[:8], "big")
+    return out

@@ -1,0 +1,90 @@
+"""End-to-end crawl pipeline vs the independent golden tables: crawl order
+byte-match (north rule), extracted facts equality, dedup hits, politeness
+spacing, and checkpoint/resume identity."""
+
+import collections
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from edgar_ray.pipelines.crawl import crawl
+from edgar_ray.sources.synth import write_corpus
+
+N_TICKERS, N_FILINGS = 3, 2
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("corpus"))
+    return write_corpus(out, N_TICKERS, N_FILINGS)
+
+
+@pytest.fixture(scope="module")
+def result(corpus, ray_session):
+    seeds = pq.read_table(corpus["seed_tickers"])
+    return crawl(corpus["pages"], seeds, num_shards=2, host_budget=10.0)
+
+
+def test_crawl_order_byte_match(corpus, result):
+    golden = pq.read_table(corpus["crawl_order_golden"])
+    got = result.crawl_order.sort_by([("seq", "ascending")])
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    assert got["url_sha1"].to_pylist() == golden["url_sha1"].to_pylist()
+    assert got["wave"].to_pylist() == golden["wave"].to_pylist()
+    assert got["seq"].to_pylist() == golden["seq"].to_pylist()
+
+
+def test_facts_match_golden(corpus, result):
+    facts = result.filings_facts.to_pandas().sort_values("accession").reset_index(drop=True)
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == len(gold)
+    for c in gold.columns:
+        assert c in facts.columns, c
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+
+
+def test_dedup_hits(result):
+    # one duplicate-URL listing per (ticker, filing type) query page
+    hits = sum(r["dedup_hits"] for r in result.lineage.to_pylist())
+    assert hits == N_TICKERS * 2
+    assert all(r["politeness_violations"] == 0 for r in result.lineage.to_pylist())
+
+
+def test_politeness_spacing(result):
+    # per host, scheduled_at strictly increases by >= 1/budget
+    order = result.crawl_order.sort_by([("seq", "ascending")])
+    by_host = collections.defaultdict(list)
+    for host, t in zip(order["host"].to_pylist(), order["scheduled_at"].to_pylist()):
+        by_host[host].append(t)
+    for times in by_host.values():
+        diffs = np.diff(np.sort(times))
+        assert (diffs >= 1.0 / 10.0 - 1e-9).all()
+
+
+def test_checkpoint_resume(corpus, tmp_path, ray_session):
+    seeds = pq.read_table(corpus["seed_tickers"])
+    ckpt = str(tmp_path / "ckpt")
+    # simulate a killed run: stop after wave 1
+    partial = crawl(corpus["pages"], seeds, num_shards=2, checkpoint_dir=ckpt,
+                    stop_after_wave=1)
+    assert partial.filings_facts is None
+    resumed = crawl(corpus["pages"], seeds, num_shards=2, checkpoint_dir=ckpt,
+                    resume=True)
+    golden = pq.read_table(corpus["crawl_order_golden"])
+    got = resumed.crawl_order.sort_by([("seq", "ascending")])
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    facts = resumed.filings_facts.to_pandas().sort_values("accession").reset_index(drop=True)
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == len(gold)
+    for c in ("ops_Revenue", "bs_Assets", "validation_error"):
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+    # lineage carries over from the partial run and the resumed run must not
+    # re-admit wave 0/1 urls: per-wave admitted totals equal the golden counts
+    per_wave = collections.Counter()
+    for r in resumed.lineage.to_pylist():
+        per_wave[r["wave"]] += r["admitted"]
+    want = collections.Counter(golden["wave"].to_pylist())
+    assert per_wave == want
