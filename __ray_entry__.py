@@ -1,44 +1,286 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl+extract pipeline (the BASELINE.json
+input contract: an EDGAR-shaped Common-Crawl-style ``pages`` Parquet table,
+synthesized deterministically since /root/testdata ships no pages table) and
+a smoke read of /root/testdata/sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the operator inventory of SURVEY.md §2 mapped onto the
+driver's testdata tables, plus the training-data ops (dedup / similarity /
+text / multimodal). ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible entry; float aggregates are rounded identically on both sides
+(FP-summation noise would otherwise break the value-hash compare).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
+_CORPUS_DIR = "/tmp/edgar_ray_corpus_v1"
+
+
+def _corpus(n_tickers: int = 4, filings: int = 3) -> dict[str, str]:
+    from edgar_ray.sources.synth import write_corpus
+
+    marker = os.path.join(_CORPUS_DIR, "crawl_order_golden.parquet")
+    if not os.path.exists(marker):
+        write_corpus(_CORPUS_DIR, n_tickers, filings)
+    return {name: os.path.join(_CORPUS_DIR, f"{name}.parquet")
+            for name in ("pages", "seed_tickers", "filings_golden",
+                         "crawl_order_golden")}
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl (frontier -> fetch -> parse -> merge) over the
+    synthetic pages corpus; returns the wide filings_facts Dataset. Also
+    smoke-reads sf0.001 documents to honor the testdata contract."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from edgar_ray.pipelines.crawl import crawl
+
+    # testdata smoke (the driver's sf0.001 contract)
+    rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                    columns=["doc_id"]).count()
+
+    paths = _corpus()
+    seeds = pq.read_table(paths["seed_tickers"])
+    res = crawl(paths["pages"], seeds, num_shards=2)
+    return res.filings_facts
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from edgar_ray.pipelines import dedup, multimodal, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def crawl_facts(sf):
+        import pyarrow.parquet as pq
+
+        from edgar_ray.pipelines.crawl import crawl as run_crawl
+
+        paths = _corpus()
+        res = run_crawl(paths["pages"], pq.read_table(paths["seed_tickers"]),
+                        num_shards=2)
+        return res.filings_facts
+
+    def crawl_order(sf):
+        import pyarrow.parquet as pq
+
+        from edgar_ray.pipelines.crawl import crawl as run_crawl
+
+        paths = _corpus()
+        res = run_crawl(paths["pages"], pq.read_table(paths["seed_tickers"]),
+                        num_shards=2)
+        return res.crawl_order.select(["seq", "wave", "url", "host"])
+
+    def text_parity(sf):
+        import ray.data as rd
+
+        from edgar_ray.stages.extract import verify_text
+
+        paths = _corpus()
+        ds = rd.read_parquet(paths["pages"])
+        return ds.map_batches(verify_text, batch_format="pyarrow")
+
+    return {
+        # relational (SURVEY.md §2 operator mappings; all oracle-checked)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q_filter_project": relational.q_filter_project,
+        "q_derived_fields": relational.q_derived_fields,
+        "q_window_hourly": relational.q_window_hourly,
+        "q_collected_counts": relational.q_collected_counts,
+        "q_sort_desc": relational.q_sort_desc,
+        "q_top25_global": relational.q_top25_global,
+        "q_topk_per_group": relational.q_topk_per_group,
+        "q_last_wins": relational.q_last_wins,
+        "q_first_wins": relational.q_first_wins,
+        "q_distinct_union": relational.q_distinct_union,
+        "q_broadcast_join": relational.q_broadcast_join,
+        "q_hash_join": relational.q_hash_join,
+        "q_anti_join": relational.q_anti_join,
+        # dedup suite
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # similarity search
+        "similarity_knn_brute": similarity.knn_brute,
+        "similarity_knn_batch": similarity.knn_batch,
+        "similarity_ann_lsh": similarity.ann_lsh,
+        # text analysis
+        "text_token_count": text.token_count,
+        "text_token_pieces": text.token_pieces,
+        "text_quality": text.quality_scores,
+        "text_quality_filter": text.quality_filter,
+        "text_langid": text.langid,
+        "text_fingerprint": text.fingerprints,
+        # multimodal plumbing
+        "multimodal_payload_stats": multimodal.payload_stats,
+        "multimodal_features": multimodal.extract_features,
+        # crawl engine (non-SQL; golden-verified in tests/bench)
+        "crawl_filings_facts": crawl_facts,
+        "crawl_order": crawl_order,
+        "crawl_text_parity": text_parity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            WITH c AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                     CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                     CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS DOUBLE) AS sum_qty,
+                   CAST(sum(price_c) AS DOUBLE) / 100 AS sum_base_price,
+                   CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000 AS sum_disc_price,
+                   CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000 AS sum_charge,
+                   CAST(sum(qty) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+                   CAST(sum(disc_c) AS DOUBLE) / 100 / CAST(count(*) AS DOUBLE) AS avg_disc,
+                   count(*) AS count_order
+            FROM c GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_filter_project": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderstatus = 'F'
+        """,
+        "q_derived_fields": """
+            WITH c AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                     CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                     CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+              FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000 AS sum_revenue,
+                   CAST(sum(price_c * (100 - disc_c) * tax_c) AS DOUBLE) / 1000000 AS sum_tax
+            FROM c GROUP BY l_returnflag
+        """,
+        "q_window_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "q_collected_counts": """
+            SELECT source,
+                   sum(CASE WHEN text IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END) AS n_complete,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "q_sort_desc": """
+            SELECT o_orderkey, o_custkey, o_orderdate
+            FROM orders WHERE o_custkey % 100 = 0
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        """,
+        "q_top25_global": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+        """,
+        "q_topk_per_group": """
+            SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) <= 3
+        """,
+        "q_last_wins": """
+            SELECT event_id, user_id, event_type, ts FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+            ) = 1
+        """,
+        "q_first_wins": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+            QUALIFY row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber ASC, l_partkey ASC, l_quantity ASC
+            ) = 1
+        """,
+        "q_distinct_union": """
+            SELECT DISTINCT o_orderkey FROM orders
+            WHERE o_orderstatus = 'F' OR o_orderpriority = '1-URGENT'
+        """,
+        "q_broadcast_join": """
+            SELECT r.r_name AS r_name, count(*) AS n_customers,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+                       AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "q_hash_join": """
+            SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                       AS sum_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 512 AND b.vec_id < 512
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "similarity_knn_brute": """
+            SELECT e.vec_id AS vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+            ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "similarity_knn_batch": """
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+            FROM embeddings e
+            JOIN embeddings q ON q.vec_id IN (0, 1, 2, 3)
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                         e.vec_id ASC
+            ) <= 5
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "text_token_pieces": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\t\\n\\rA-Za-z0-9]'))
+                       AS n_pieces
+            FROM documents
+        """,
+        "text_quality_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars BETWEEN 100 AND 20000 AND lang = 'en'
+        """,
+        "multimodal_payload_stats": """
+            SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
+        """,
+        # dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
+        # similarity_ann_lsh / text_quality / text_langid / text_fingerprint /
+        # multimodal_features / crawl_* : non-SQL-expressible (stateful /
+        # model-driven / golden-verified in tests) -> rows-only check.
+    }

@@ -1,0 +1,369 @@
+"""Relational operators from SURVEY.md §2, re-expressed Ray-Data-first over
+the driver's TPC-H-ish testdata tables.
+
+Each function maps a reference operator pattern (cited) onto an idiomatic
+Ray Data plan: column-pruned reads, vectorized pyarrow/pandas batch kernels,
+pre-aggregation before shuffles, broadcast small-side joins, and
+groupby/map_groups for per-key ordered logic. Every function here has a
+matching DuckDB oracle in ``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A-family: /root/reference/data_def.go:95-248 analogues)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with derived columns (A2 vectorized arithmetic +
+    the groupby/aggregate merge pattern of A1/A4). Ray Data's hash aggregate
+    does per-block partial aggregation before the shuffle.
+
+    Money columns are exact 2-decimal values, so all sums run in integer
+    cents (summation-order-independent -> bit-identical to the DuckDB oracle)
+    and convert to dollars once at the end."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax_c = np.round(t["l_tax"].to_numpy() * 100).astype(np.int64)
+        disc_price = price_c * (100 - disc_c)          # 1e-4 dollars
+        charge = disc_price * (100 + tax_c)            # 1e-6 dollars
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "price_c": pa.array(price_c), "disc_c": pa.array(disc_c),
+            "disc_price": pa.array(disc_price), "charge": pa.array(charge),
+        })
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty_i"),
+            Sum("price_c", alias_name="sum_base_c"),
+            Sum("disc_price", alias_name="sum_disc_c"),
+            Sum("charge", alias_name="sum_charge_c"),
+            Sum("disc_c", alias_name="sum_disc_hund"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["count_order"].to_numpy().astype(np.float64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(t["sum_qty_i"].to_numpy().astype(np.float64)),
+            "sum_base_price": pa.array(t["sum_base_c"].to_numpy() / 100.0),
+            "sum_disc_price": pa.array(t["sum_disc_c"].to_numpy() / 10000.0),
+            "sum_charge": pa.array(t["sum_charge_c"].to_numpy() / 1000000.0),
+            "avg_qty": pa.array(t["sum_qty_i"].to_numpy() / n),
+            "avg_disc": pa.array(t["sum_disc_hund"].to_numpy() / 100.0 / n),
+            "count_order": t["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized predicate + projection (P1's threshold/type filter,
+    /root/reference/parser.go:34-53)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1999-01-01"))),
+            pc.equal(t["o_orderstatus"], pa.scalar("F")),
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_derived_fields(sf_dir: str):
+    """Derived-fact generation (A2, /root/reference/data_def.go:95-121):
+    compute revenue/tax columns then aggregate per flag."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_discount", "l_tax"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax_c = np.round(t["l_tax"].to_numpy() * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)       # 1e-4 dollars, exact
+        tax_amt = rev * tax_c                # 1e-6 dollars, exact
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "rev_c": pa.array(rev), "tax_c": pa.array(tax_amt)})
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("rev_c", alias_name="rev_sum"),
+                   Sum("tax_c", alias_name="tax_sum"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "sum_revenue": pa.array(t["rev_sum"].to_numpy() / 10000.0),
+            "sum_tax": pa.array(t["tax_sum"].to_numpy() / 1000000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_window_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the events log (the streaming-shaped
+    pattern; SURVEY.md §2.9): per (user_id, hour) counts + sums via a
+    vectorized bucket column then hash aggregate."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        value_c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "hour": hour,
+                         "value_c": pa.array(value_c)})
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_sum"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "hour": t["hour"],
+                         "n_events": t["n_events"],
+                         "sum_value": pa.array(t["value_sum"].to_numpy() / 100.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_collected_counts(sf_dir: str):
+    """Presence counting (A6 CollectedData, /root/reference/filing.go:279-302):
+    per source, how many docs are 'complete' (non-null text, known lang)."""
+    ds = _read(sf_dir, "documents", ["source", "text", "lang"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t["text"]), pc.not_equal(t["lang"], pa.scalar("")))
+        return pa.table({"source": t["source"],
+                         "complete": pc.cast(ok, pa.int64())})
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("complete", alias_name="n_complete"), Count(alias_name="n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O-family: /root/reference/folder.go:120-132)
+# ---------------------------------------------------------------------------
+
+
+def q_sort_desc(sf_dir: str):
+    """AvailableFilings: newest-first ordering (O1,
+    /root/reference/folder.go:128-131) — one customer's orders, date desc."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy()
+        return t.filter(pa.array(np.equal(keys % 100, 0)))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort(
+        ["o_orderdate", "o_orderkey"], descending=[True, True]
+    )
+
+
+def q_top25_global(sf_dir: str):
+    """Global top-k (O3's count=10 limit, /root/reference/page.go:13):
+    distributed sort + limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(25)
+
+
+def q_topk_per_group(sf_dir: str):
+    """Per-group top-k (the per-(ticker,type) 10-filing frontier breadth,
+    O3): 3 newest orders per customer, groupby(custkey).map_groups."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_orderdate", "o_orderkey"],
+                             ascending=[False, False]).head(3)
+
+    return ds.groupby("o_custkey").map_groups(head3, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Dedup set-ops (D-family: /root/reference/parser.go:43,47; reportmap.go:139)
+# ---------------------------------------------------------------------------
+
+
+def q_last_wins(sf_dir: str):
+    """Date-keyed last-wins dedup (D2, /root/reference/parser.go:47): latest
+    event per (user_id, event_type)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(latest, batch_format="pandas")
+
+
+def q_first_wins(sf_dir: str):
+    """Order-preserving first-wins (D3/D4, /root/reference/reportmap.go:139-142,
+    data_def.go:205): first lineitem per order by linenumber."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        # linenumber is NOT unique per order in this data; full-column
+        # tie-break keeps the winner deterministic (the reference's
+        # first-wins is deterministic only via document order, D4)
+        return g.sort_values(["l_linenumber", "l_partkey", "l_quantity"]).head(1)
+
+    return ds.groupby("l_orderkey").map_groups(first, batch_format="pandas")
+
+
+def q_distinct_union(sf_dir: str):
+    """Set op: union of two filtered slices, then distinct keys
+    (D1 + frontier set semantics)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    a = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    b = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+    def head1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return a.union(b).groupby("o_orderkey").map_groups(head1, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J-family: /root/reference/page.go:30-39; fetcher.go:55-58)
+# ---------------------------------------------------------------------------
+
+
+def q_broadcast_join(sf_dir: str):
+    """Broadcast small-side hash join (J1 ticker->CIK,
+    /root/reference/page.go:30-39): customer x nation x region rollup. The
+    dimension tables ship once via ray.put; the fact side streams."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(dict(zip(dim["n_nationkey"].astype("int32"), dim["r_name"])))
+
+    class AttachRegion:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            names = [self.lookup.get(int(k), "") for k in keys]
+            bal_c = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+            return pa.table({"r_name": pa.array(names, pa.string()),
+                             "bal_c": pa.array(bal_c)})
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    agg = (
+        cust.map_batches(AttachRegion, fn_constructor_args=(lookup_ref,),
+                         batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("bal_c", alias_name="bal_sum"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"r_name": t["r_name"], "n_customers": t["n_customers"],
+                         "sum_acctbal": pa.array(t["bal_sum"].to_numpy() / 100.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_hash_join(sf_dir: str):
+    """Large-large hash-partitioned join (Dataset.join): orders x customer,
+    revenue per market segment."""
+    import numpy as np
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        price_c = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"], "price_c": pa.array(price_c)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.map_batches(cents, batch_format="pyarrow").join(
+        cust, join_type="inner", on=("o_custkey",),
+        right_on=("c_custkey",), num_partitions=8)
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_sum")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": t["c_mktsegment"], "n_orders": t["n_orders"],
+                         "sum_price": pa.array(t["price_sum"].to_numpy() / 100.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_anti_join(sf_dir: str):
+    """Resume anti-join (J4, /root/reference/fetcher.go:55-58): customers with
+    no completed ('F') order, via a broadcast key-set semi-filter (the
+    crawl's seen-set-dedup pattern at queryable scale)."""
+    f_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    order_keys = f_orders.unique("o_custkey")
+    keys_ref = ray.put({int(k) for k in order_keys})
+
+    class DropSeen:
+        def __init__(self, ref):
+            self.seen = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            mask = pa.array([int(k) not in self.seen for k in keys])
+            return t.filter(mask)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return cust.map_batches(DropSeen, fn_constructor_args=(keys_ref,),
+                            batch_format="pyarrow", concurrency=(1, 4))

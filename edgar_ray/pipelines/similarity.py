@@ -1,0 +1,153 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``knn_brute``: exact cosine top-k — per-batch numpy matmul against a
+  broadcast query matrix (``ray.put`` once, read per actor), partial top-k per
+  batch, tiny final reduce. This is the baseline any ANN variant is graded
+  against.
+- ``ann_lsh``: random-hyperplane LSH buckets (sign bits) — the scale path: a
+  vectorized signature stage, a hash-shuffle on the bucket key, in-bucket
+  exact scoring. Probes the query's bucket + single-bit flips.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+
+def _query_vec(sf_dir: str, query_id: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    row = t.filter(pc.equal(t["vec_id"], query_id))
+    v = np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
+    return v / max(np.linalg.norm(v), 1e-12)
+
+
+class _BatchTopK:
+    """Partial top-k per batch against the broadcast query matrix."""
+
+    def __init__(self, q_ref, k: int):
+        q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.q = q  # (n_queries, dim), rows unit-norm
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cos = mat @ self.q.T  # (batch, n_queries)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(self.q.shape[0]):
+            col = cos[:, qi]
+            k = min(self.k, len(col))
+            idx = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[idx].tolist())
+            out_cos.extend(col[idx].tolist())
+        return pa.table({"query_idx": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cos": pa.array(out_cos, pa.float64())})
+
+
+def knn_brute(sf_dir: str, query_id: int = 0, k: int = 10):
+    """Exact top-k by cosine for one stored query vector. Partial top-k per
+    batch -> global sort + limit (the reduce side is k x num_blocks rows)."""
+    q = _query_vec(sf_dir, query_id)[None, :]
+    q_ref = ray.put(q)
+    partial = _emb(sf_dir).map_batches(
+        _BatchTopK, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", concurrency=(1, 8)
+    )
+    return (
+        partial.sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id"])
+    )
+
+
+class _LshSig:
+    """Sign-bit signatures under R random hyperplanes (seeded per pool)."""
+
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((nbits, dim))
+        self.weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        return ((vecs @ self.planes.T) > 0).astype(np.int64) @ self.weights
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "bucket": pa.array(self.bucket_of(mat), pa.int64()),
+                         "embedding": t["embedding"]})
+
+
+def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10, nbits: int = 8):
+    """Approximate top-k: score only vectors whose LSH bucket is the query's
+    bucket or one bit away (multi-probe). Recall measured against knn_brute
+    in tests; at 10^10 rows the bucket column becomes the partition key."""
+    q = _query_vec(sf_dir, query_id)
+    dim = len(q)
+    sig = _LshSig(dim, nbits)
+    q_bucket = int(sig.bucket_of(q[None, :])[0])
+    probes = {q_bucket} | {q_bucket ^ (1 << b) for b in range(nbits)}
+    probes_ref = ray.put(probes)
+    q_ref = ray.put(q[None, :])
+
+    ds = _emb(sf_dir).map_batches(
+        _LshSig, fn_constructor_args=(dim, nbits),
+        batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    class ProbeFilter:
+        def __init__(self, pr):
+            self.probes = ray.get(pr) if isinstance(pr, ray.ObjectRef) else pr
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b = t["bucket"].to_numpy(zero_copy_only=False)
+            mask = pa.array([int(x) in self.probes for x in b])
+            return t.filter(mask).select(["vec_id", "embedding"])
+
+    cand = ds.map_batches(ProbeFilter, fn_constructor_args=(probes_ref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+    partial = cand.map_batches(_BatchTopK, fn_constructor_args=(q_ref, k),
+                               batch_format="pyarrow", concurrency=(1, 4))
+    return (
+        partial.sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id"])
+    )
+
+
+def knn_batch(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5):
+    """Batched multi-query exact top-k (the production shape: one broadcast
+    query matrix, one pass over the corpus, per-query reduce)."""
+    qs = np.stack([_query_vec(sf_dir, qid) for qid in query_ids])
+    q_ref = ray.put(qs)
+    partial = _emb(sf_dir).map_batches(
+        _BatchTopK, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def per_query_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        out = g[["query_idx", "vec_id"]].copy()
+        out["query_id"] = [query_ids[int(q)] for q in out["query_idx"]]
+        return out[["query_id", "vec_id"]]
+
+    return partial.groupby("query_idx").map_groups(per_query_topk,
+                                                   batch_format="pandas")

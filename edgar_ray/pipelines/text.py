@@ -1,0 +1,209 @@
+"""Text-analysis pipelines over ``documents``: language-ID, quality scoring,
+token counting, document fingerprinting. All stateful setup (compiled
+regexes, n-gram profiles, stopword sets) happens once per actor in
+``__init__``; per-batch work is vectorized pandas/numpy string kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def token_count(sf_dir: str):
+    """Whitespace token counts per document (the BPE-ish regex twin is in
+    TokenCounter). Matches the DuckDB oracle's regexp_split_to_array."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = [len(s.split()) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+class TokenCounter:
+    """BPE-ish subword token estimate: word-piece regex compiled once per
+    actor; counts words + punctuation runs + digit runs."""
+
+    def __init__(self):
+        self.pat = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = [len(self.pat.findall(s)) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "n_pieces": pa.array(n, pa.int64())})
+
+
+def token_pieces(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenCounter, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+class QualityScorer:
+    """Heuristic quality signals (C4/Gopher-style, public recipes): length,
+    mean word length, stopword ratio, punctuation density, digit ratio."""
+
+    STOPWORDS = frozenset(
+        "the of and to in a is that it for on as with be at by an are this "
+        "from or have was not but had they you which one all we can her his".split()
+    )
+
+    def __init__(self):
+        self.word = re.compile(r"[a-z']+")
+        self.punct = re.compile(r"[.,;:!?]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        lower = texts.str.lower()
+        words = lower.map(self.word.findall)
+        n_words = words.map(len).clip(lower=1)
+        batch = batch[["doc_id"]].copy()
+        batch["n_chars"] = texts.str.len()
+        batch["n_words"] = words.map(len)
+        batch["mean_word_len"] = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        batch["stop_ratio"] = words.map(
+            lambda ws: sum(w in self.STOPWORDS for w in ws) / max(1, len(ws))
+        )
+        batch["punct_per_100"] = texts.map(lambda s: len(self.punct.findall(s))) / n_words * 100.0
+        batch["quality_ok"] = (
+            (batch["n_chars"] >= 50)
+            & (batch["mean_word_len"].between(2.5, 12.0))
+            & (batch["stop_ratio"] >= 0.05)
+        )
+        return batch
+
+    @staticmethod
+    def pipeline(sf_dir: str):
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            QualityScorer, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        )
+
+
+def quality_scores(sf_dir: str):
+    return QualityScorer.pipeline(sf_dir)
+
+
+def quality_filter(sf_dir: str, lo: int = 100, hi: int = 20000):
+    """Oracle-checkable slice of the quality gate: length band + lang=en
+    (the SQL-expressible component; the full scorer is quality_scores)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["n_chars"], pa.scalar(lo, pa.int64())),
+                    pc.less_equal(t["n_chars"], pa.scalar(hi, pa.int64()))),
+            pc.equal(t["lang"], pa.scalar("en")),
+        )
+        return t.filter(m).select(["doc_id", "n_chars"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+class LangId:
+    """Character-n-gram language heuristic (public trigram-profile approach):
+    profiles for a few languages built once per actor; classification =
+    cosine over trigram count vectors, 'und' when too short."""
+
+    PROFILES = {
+        "en": "the and ing ion tio ent for hat his tha ere with you was are",
+        "de": "der die und ein ich sch den von das mit cht ver gen ung ten",
+        "fr": "les des ent que une lle est dans pour par sur ais ont tre ment",
+        "es": "que los del las por una con para est como mente cion dad ado",
+    }
+
+    def __init__(self):
+        self.word = re.compile(r"[a-z]+")
+        self.profiles = {}
+        for lang, toks in self.PROFILES.items():
+            grams: dict[str, float] = {}
+            for tk in toks.split():
+                for i in range(len(tk) - 2):
+                    g = tk[i:i + 3]
+                    grams[g] = grams.get(g, 0.0) + 1.0
+            norm = np.sqrt(sum(v * v for v in grams.values()))
+            self.profiles[lang] = {g: v / norm for g, v in grams.items()}
+
+    def classify(self, text: str) -> str:
+        text = " ".join(self.word.findall(text.lower()))
+        if len(text) < 20:
+            return "und"
+        grams: dict[str, float] = {}
+        for i in range(len(text) - 2):
+            g = text[i:i + 3]
+            if " " in g:
+                continue
+            grams[g] = grams.get(g, 0.0) + 1.0
+        norm = np.sqrt(sum(v * v for v in grams.values())) or 1.0
+        best, best_s = "und", 0.0
+        for lang, prof in self.profiles.items():
+            s = sum(v * prof.get(g, 0.0) for g, v in grams.items()) / norm
+            if s > best_s:
+                best, best_s = lang, s
+        return best if best_s > 0.05 else "und"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        langs = [self.classify(s) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": pa.array(langs, pa.string()),
+                         "lang": t["lang"]})
+
+
+def langid(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        LangId, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
+    )
+
+
+class Fingerprinter:
+    """Winnowing-style rolling-hash fingerprint (public algorithm — Schleimer
+    et al., SIGMOD 2003): k-gram rolling hashes, minimum per window, distinct
+    sorted mins as the doc fingerprint; plus a single stable content hash."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k = k
+        self.window = window
+
+    def fingerprint(self, text: str) -> list[int]:
+        data = text.encode()
+        if len(data) < self.k:
+            return [int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")] if data else []
+        hs = np.empty(len(data) - self.k + 1, dtype=np.uint64)
+        for i in range(len(hs)):
+            hs[i] = int.from_bytes(
+                hashlib.blake2b(data[i:i + self.k], digest_size=8).digest(), "big"
+            )
+        if len(hs) <= self.window:
+            return [int(hs.min())]
+        mins = {
+            int(hs[i:i + self.window].min())
+            for i in range(len(hs) - self.window + 1)
+        }
+        return sorted(mins)[:64]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(s) for s in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array([[f - (1 << 63) for f in fp] for fp in fps],
+                                    pa.list_(pa.int64())),
+            "n_fp": pa.array([len(f) for f in fps], pa.int64()),
+        })
+
+
+def fingerprints(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
