@@ -1,0 +1,160 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...,
+   "num_cpus": N, "crawl": {urls_per_sec, pages_parsed_per_sec, ...}}
+
+--scaling: run the same job twice in fresh processes (num_cpus=8 then 32) on
+the same input and report both throughputs + scaling efficiency
+(BASELINE.json north rule: efficiency >= 0.8 from N to 4N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_MODE = os.environ.get("GRAFT_BENCH_MODE", "full")  # "full" | "crawl"
+# bench corpus: scale the synthetic EDGAR universe with the sf tier
+_CORPUS_SIZES = {"sf0.001": (4, 3), "sf0.01": (12, 4), "sf0.1": (128, 8)}
+# the --scaling corpus is larger so parse compute dominates fixed overheads
+SCALING_CORPUS = os.environ.get("GRAFT_SCALING_CORPUS", "512x10")
+
+
+def _bench_corpus() -> tuple[str, int, int]:
+    override = os.environ.get("GRAFT_BENCH_CORPUS")
+    if override:
+        n_tickers, filings = (int(x) for x in override.split("x"))
+    else:
+        tier = os.path.basename(os.path.normpath(SF_DIR))
+        n_tickers, filings = _CORPUS_SIZES.get(tier, (48, 6))
+    out = f"/tmp/edgar_ray_bench_corpus_{n_tickers}x{filings}"
+    if not os.path.exists(os.path.join(out, "crawl_order_golden.parquet")):
+        from edgar_ray.sources.synth import write_corpus
+
+        write_corpus(out, n_tickers, filings)
+    return out, n_tickers, filings
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from edgar_ray.pipelines.crawl import crawl
+
+    corpus_dir, n_tickers, filings = _bench_corpus()
+    seeds = pq.read_table(os.path.join(corpus_dir, "seed_tickers.parquet"))
+    pages_path = os.path.join(corpus_dir, "pages.parquet")
+
+    # warm the page cache AND the Ray Data execution path (worker process
+    # startup) so we measure steady-state compute + shuffle
+    pq.read_table(pages_path)
+    import ray.data as rd
+    rd.read_parquet(pages_path, columns=["url"]).map_batches(
+        lambda t: t, batch_format="pyarrow").count()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    res = crawl(pages_path, seeds, num_shards=4, capacity=1 << 20)
+    n_facts = res.filings_facts.count()  # consume the lazy merge
+    crawl_sec = time.monotonic() - t0
+    queries["crawl_extract"] = round(crawl_sec, 3)
+    crawl_stats = {
+        "frontier_urls": res.metrics["frontier_urls"],
+        "pages_parsed": res.metrics["pages_fetched"],
+        "filings_extracted": n_facts,
+        "urls_per_sec": round(res.metrics["frontier_urls"] / crawl_sec, 2),
+        "pages_parsed_per_sec": round(res.metrics["pages_fetched"] / crawl_sec, 2),
+    }
+
+    qs = entrymod.queries()
+    bench_queries = () if BENCH_MODE == "crawl" else (
+        "q1_pricing_summary", "q_hash_join", "q_topk_per_group",
+        "dedup_exact", "dedup_minhash_lsh", "similarity_knn_brute",
+        "text_quality", "text_token_count", "multimodal_features")
+    for name in bench_queries:
+        t0 = time.monotonic()
+        out = qs[name](SF_DIR)
+        # consume
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl_stats,
+        "corpus": {"tickers": n_tickers, "filings_per_type": filings},
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on identical input."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_MODE="crawl",
+                   GRAFT_BENCH_CORPUS=SCALING_CORPUS)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    lo, hi = results[8], results[32]
+    # throughput = crawl pages parsed per second (the north-rule metric)
+    thr_lo = lo["crawl"]["pages_parsed_per_sec"]
+    thr_hi = hi["crawl"]["pages_parsed_per_sec"]
+    eff_crawl = thr_hi / (4.0 * thr_lo)
+    # end-to-end (crawl-only headline) efficiency
+    eff_total = (lo["value"] / hi["value"]) / 4.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff_crawl, 3),
+        "unit": "ratio",
+        "num_cpus": [8, 32],
+        "sf": SF_DIR,
+        "crawl_pages_per_sec_8": thr_lo,
+        "crawl_pages_per_sec_32": thr_hi,
+        "crawl_scaling_efficiency": round(eff_crawl, 3),
+        "headline_sec_8": lo["value"],
+        "headline_sec_32": hi["value"],
+        "headline_scaling_efficiency": round(eff_total, 3),
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

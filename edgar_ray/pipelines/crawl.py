@@ -59,24 +59,39 @@ class CrawlResult:
     metrics: dict = field(default_factory=dict)
 
 
-class _FetchStage:
-    """Filter a pages batch to the admitted url set and attach frontier
-    metadata (broadcast-small-side hash join, SURVEY.md §2.4 J1)."""
+def _make_fetch_fn(keys_ref, meta_ref):
+    """Stateless fetch filter: keep pages whose url key is in the admitted
+    set and attach the frontier metadata (broadcast-small-side hash join,
+    SURVEY.md §2.4 J1).
 
-    def __init__(self, meta_ref):
-        self.meta = ray.get(meta_ref) if not isinstance(meta_ref, dict) else meta_ref
+    The broadcast side ships ZERO-COPY: a sorted uint64 sha1-key array
+    (numpy) plus the admitted metadata as an Arrow table — a Python dict here
+    would be re-pickled/deserialized in every task, which dominates wall time
+    at large waves. Membership = hash + searchsorted; metadata attach =
+    Arrow ``take``. 64-bit sha1 prefixes collide with probability ~n^2/2^64
+    (~1e-10 at 10^5-URL waves; per-shard at 10^10 scale)."""
+    import numpy as np
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    from ..state.cuckoo import hash_urls
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        keys_sorted = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        meta = ray.get(meta_ref) if isinstance(meta_ref, ray.ObjectRef) else meta_ref
         urls = batch["url"].to_pylist()
-        keep = [i for i, u in enumerate(urls) if u in self.meta]
-        if not keep:
+        h = hash_urls(urls)
+        pos = np.searchsorted(keys_sorted, h)
+        pos_c = np.minimum(pos, len(keys_sorted) - 1)
+        hit = keys_sorted[pos_c] == h
+        if not hit.any():
             return _empty_fetch(batch)
+        keep = np.nonzero(hit)[0]
         sub = batch.take(pa.array(keep, pa.int64()))
-        metas = [self.meta[u] for u in sub["url"].to_pylist()]
-        for ci, col in enumerate(_META_COLS):
-            typ = pa.int32() if col in ("report_num", "seed_rank") else pa.string()
-            sub = sub.append_column(col, pa.array([m[ci] for m in metas], typ))
+        meta_rows = meta.take(pa.array(pos_c[keep], pa.int64()))
+        for col in _META_COLS:
+            sub = sub.append_column(col, meta_rows[col])
         return sub
+
+    return fetch
 
 
 def _empty_fetch(batch: pa.Table) -> pa.Table:
@@ -87,24 +102,22 @@ def _empty_fetch(batch: pa.Table) -> pa.Table:
     return sub
 
 
-def _meta_dict(admitted: pa.Table) -> dict[str, tuple]:
-    cols = {c: admitted[c].to_pylist() for c in ["url"] + _META_COLS}
-    return {
-        cols["url"][i]: tuple(cols[c][i] for c in _META_COLS)
-        for i in range(admitted.num_rows)
-    }
-
-
 def _fetch_wave(pages_source, admitted: pa.Table, join_threshold: int):
     """pages ⋈ admitted urls -> Dataset of page rows + frontier metadata."""
+    import numpy as np
+
+    from ..state.cuckoo import hash_urls
+
     pages_ds = pages_source()
     if admitted.num_rows <= join_threshold:
-        meta_ref = ray.put(_meta_dict(admitted))
+        keys = hash_urls(admitted["url"].to_pylist())
+        order = np.argsort(keys)
+        keys_ref = ray.put(keys[order])
+        meta_ref = ray.put(
+            admitted.select(_META_COLS).take(pa.array(order, pa.int64()))
+        )
         return pages_ds.map_batches(
-            _FetchStage,
-            fn_constructor_args=(meta_ref,),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
+            _make_fetch_fn(keys_ref, meta_ref), batch_format="pyarrow"
         )
     # large-wave path: hash-partitioned join on url (no broadcast)
     admitted_ds = rd.from_arrow(admitted.select(["url"] + _META_COLS))
@@ -135,6 +148,7 @@ def crawl(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     join_threshold: int = 200_000,
+    merge_partitions: int | None = 32,
     stop_after_wave: int | None = None,
 ) -> CrawlResult:
     """Run the 3-wave crawl over a pages table. Returns the merged
@@ -182,6 +196,11 @@ def crawl(
             candidates = _collect_table(parsed)
         else:
             facts_raw = fetched.map_batches(extract_facts, batch_format="pyarrow")
+            # coalesce the many small filtered blocks before the merge shuffle
+            # (fewer shuffle tasks; row-preserving — at production block sizes
+            # this is a no-op and can be disabled with merge_partitions=None)
+            if merge_partitions:
+                facts_raw = facts_raw.repartition(merge_partitions)
             facts_ds = merge_facts(facts_raw)
             candidates = None
         pages_fetched += admitted.num_rows

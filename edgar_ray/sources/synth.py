@@ -695,6 +695,9 @@ def write_corpus(out_dir: str, n_tickers: int = 8, filings_per_type: int = 4,
     paths = {}
     for name, tbl in tables.items():
         path = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(tbl, path)
+        # small row groups on the pages table so read_parquet parallelizes
+        # (stands in for the many-shard layout of a real WARC-derived table)
+        rgs = 2048 if name == "pages" else 64 * 1024
+        pq.write_table(tbl, path, row_group_size=rgs)
         paths[name] = path
     return paths

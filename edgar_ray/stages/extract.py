@@ -175,39 +175,30 @@ FACTS_RAW_FIELDS = [
     ("ticker", pa.string()), ("cik", pa.string()), ("accession", pa.string()),
     ("filing_type", pa.string()), ("filed_date", pa.string()),
     ("doc_type", pa.string()), ("report_num", pa.int32()),
-    ("row_idx", pa.int32()), ("cells", pa.list_(pa.string())),
     ("headings", pa.list_(pa.string())),
+    ("rows_idx", pa.list_(pa.int32())),
+    ("rows_cells", pa.list_(pa.list_(pa.string()))),
 ]
 
 
 def extract_facts(batch: pa.Table) -> pa.Table:
-    """R-report pages -> long-format facts_raw rows.
+    """R-report pages -> facts_raw: ONE nested row per page.
 
-    One output row per parsed table row (cells = list<string>, document
-    order preserved via row_idx for first-write-wins determinism,
-    /root/reference/data_def.go:205); a row_idx=-1 row carries the heading
-    strings that drive scale inference (/root/reference/parser.go:307-316).
-    """
+    ``rows_cells`` keeps every parsed table row (document order preserved via
+    ``rows_idx`` for first-write-wins determinism,
+    /root/reference/data_def.go:205); ``headings`` drives scale inference
+    (/root/reference/parser.go:307-316). One row per page (instead of one per
+    table row) keeps the merge shuffle ~30x smaller."""
     out = {name: [] for name, _ in FACTS_RAW_FIELDS}
     cols = batch.to_pydict()
-
-    def emit(i: int, row_idx: int, cells: list[str], headings: list[str]) -> None:
-        out["ticker"].append(cols["ticker"][i])
-        out["cik"].append(cols["cik"][i])
-        out["accession"].append(cols["accession"][i])
-        out["filing_type"].append(cols["filing_type"][i])
-        out["filed_date"].append(cols["filed_date"][i])
-        out["doc_type"].append(cols["doc_type"][i])
-        out["report_num"].append(cols["report_num"][i])
-        out["row_idx"].append(row_idx)
-        out["cells"].append(cells)
-        out["headings"].append(headings)
-
     for i in range(batch.num_rows):
         headings, rows = fin_report_raw(cols["html"][i])
-        emit(i, -1, [], headings)
-        for idx, cells in rows:
-            emit(i, idx, cells, [])
+        for key in ("ticker", "cik", "accession", "filing_type", "filed_date",
+                    "doc_type", "report_num"):
+            out[key].append(cols[key][i])
+        out["headings"].append(headings)
+        out["rows_idx"].append([idx for idx, _ in rows])
+        out["rows_cells"].append([cells for _, cells in rows])
     return pa.table({name: pa.array(out[name], typ) for name, typ in FACTS_RAW_FIELDS})
 
 

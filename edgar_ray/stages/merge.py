@@ -16,38 +16,37 @@ from ..functions.report import merge_docs
 from ..schema import FACT_FIELDS, FILINGS_FACTS_SCHEMA, fact_col
 
 
-def merge_filing_group(group: pd.DataFrame) -> pd.DataFrame:
-    """One group = one accession's facts_raw rows (all docs). Emits one wide
-    filings_facts row."""
-    if len(group) == 0:
-        return _empty_wide()
-    first = group.iloc[0]
-    docs: dict[str, tuple[list[str], list[tuple[int, list[str]]]]] = {}
-    for doc_type, g in group.groupby("doc_type", sort=False):
-        g = g.sort_values("row_idx")
-        headings: list[str] = []
-        rows: list[tuple[int, list[str]]] = []
-        for _, r in g.iterrows():
-            if r["row_idx"] < 0:
-                headings = list(r["headings"])
-            else:
-                rows.append((int(r["row_idx"]), list(r["cells"])))
-        docs[doc_type] = (headings, rows)
+def merge_filing_group(group) -> "pa.Table":
+    """One group = one accession's facts_raw rows (all docs), as an Arrow
+    table (zero-copy slice of the sorted block — no per-group pandas
+    conversion). Emits one wide filings_facts row."""
+    import pyarrow as pa
 
-    fr, err = merge_docs(str(first["filing_type"]), docs)
+    if group.num_rows == 0:
+        return pa.Table.from_pandas(_empty_wide())
+    cols = group.to_pydict()
+    docs: dict[str, tuple[list[str], list[tuple[int, list[str]]]]] = {}
+    for doc_type, headings, rows_idx, rows_cells in zip(
+        cols["doc_type"], cols["headings"], cols["rows_idx"], cols["rows_cells"]
+    ):
+        rows = sorted(zip(rows_idx, rows_cells))
+        # first page wins per doc_type (D3, /root/reference/reportmap.go:139)
+        docs.setdefault(doc_type, (headings, rows))
+
+    fr, err = merge_docs(cols["filing_type"][0], docs)
     out = {
-        "ticker": [first["ticker"]],
-        "cik": [first["cik"]],
-        "accession": [first["accession"]],
-        "filing_type": [first["filing_type"]],
-        "filed_date": [first["filed_date"]],
+        "ticker": [cols["ticker"][0]],
+        "cik": [cols["cik"][0]],
+        "accession": [cols["accession"][0]],
+        "filing_type": [cols["filing_type"][0]],
+        "filed_date": [cols["filed_date"][0]],
     }
     for f in FACT_FIELDS:
         out[fact_col(f)] = [float(fr[f.struct][f.name])]
     for struct in ("entity", "ops", "bs", "cf"):
         out[f"collected_{struct}"] = [int(fr[struct]["CollectedData"])]
     out["validation_error"] = [err]
-    return pd.DataFrame(out)
+    return pa.table(out)
 
 
 def _empty_wide() -> pd.DataFrame:
@@ -64,7 +63,7 @@ def _empty_wide() -> pd.DataFrame:
 def merge_facts(facts_raw_ds):
     """facts_raw Dataset -> filings_facts Dataset (shuffle #1, key=accession)."""
     return facts_raw_ds.groupby("accession").map_groups(
-        merge_filing_group, batch_format="pandas"
+        merge_filing_group, batch_format="pyarrow"
     )
 
 

@@ -101,20 +101,38 @@ class CuckooFilter:
     def add_many(self, hashes: np.ndarray) -> np.ndarray:
         """Insert key hashes; returns bool array: True where the key was NEW
         (i.e. not already present). Duplicate keys within the batch are
-        detected too (second occurrence reports False)."""
+        detected too (second occurrence reports False).
+
+        Fast path: pre-vectorized membership + plain-int slot probing; the
+        eviction loop only runs when both buckets are full."""
         h = hashes.astype(np.uint64, copy=False)
-        fp = _fingerprints(h)
-        b1 = (h & self._mask).astype(np.uint64)
-        fresh = np.zeros(len(h), dtype=bool)
+        fp_arr = _fingerprints(h)
+        b1_arr = (h & self._mask).astype(np.uint64)
+        b2_arr = _alt_bucket(b1_arr, fp_arr, self._mask)
         present = self.contains_many(h)
+        fresh = np.zeros(len(h), dtype=bool)
+        t = self.table
         for i in range(len(h)):
             if present[i]:
                 continue
-            # re-check against keys inserted earlier in this batch
-            if self.contains_many(h[i:i + 1])[0]:
+            fp = int(fp_arr[i])
+            b1, b2 = int(b1_arr[i]), int(b2_arr[i])
+            # in-batch duplicate re-check (cheap: two 4-slot rows)
+            row1, row2 = t[b1], t[b2]
+            if fp in row1 or fp in row2:
                 continue
-            if self._insert_one(int(b1[i]), int(fp[i])):
-                fresh[i] = True
+            placed = False
+            for row in (row1, row2):
+                for s in range(_SLOTS):
+                    if row[s] == _EMPTY:
+                        row[s] = fp
+                        self.count += 1
+                        placed = fresh[i] = True
+                        break
+                if placed:
+                    break
+            if not placed:
+                fresh[i] = self._insert_one(b1, fp)
         return fresh
 
     # -- checkpoint -----------------------------------------------------------

@@ -85,18 +85,21 @@ class FrontierShard:
         # politeness: one token per 1/budget seconds per host on a simulated
         # clock carried across waves; admissions are never allowed to exceed
         # the budget (violations = 0 by construction), `deferred` counts URLs
-        # this wave pushed >= 1s past the host's wave-start slot
-        hosts = admitted["host"].to_pylist()
+        # this wave pushed >= 1s past the host's wave-start slot.
+        # Vectorized per host: slots are start + step*arange (the admitted
+        # table is priority-sorted, so per-host arrival order is the sorted
+        # order).
+        hosts = np.asarray(admitted["host"].to_pylist(), dtype=object)
         sched = np.empty(len(hosts), dtype=np.float64)
         deferred = 0
         step = 1.0 / self.host_budget
-        wave_start = dict(self.host_next_slot)
-        for i, h in enumerate(hosts):
-            t = self.host_next_slot.get(h, 0.0)
-            sched[i] = t
-            if t - wave_start.get(h, 0.0) >= 1.0:
-                deferred += 1
-            self.host_next_slot[h] = t + step
+        for h in np.unique(hosts) if len(hosts) else []:
+            idx = np.nonzero(hosts == h)[0]
+            start = self.host_next_slot.get(h, 0.0)
+            slots = start + step * np.arange(len(idx))
+            sched[idx] = slots
+            deferred += int((slots - start >= 1.0).sum())
+            self.host_next_slot[h] = float(start + step * len(idx))
 
         import hashlib
         sha = pa.array([hashlib.sha1(u.encode()).digest()
