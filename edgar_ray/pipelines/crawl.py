@@ -133,7 +133,10 @@ def _collect_table(ds) -> pa.Table:
     tbls = [t for t in ray.get(refs) if t.num_rows]
     if not tbls:
         return None
-    return pa.concat_tables(tbls, promote_options="default")
+    # combine_chunks: a many-block concat yields hundreds of tiny chunks,
+    # which makes every downstream serialization (shard routing RPCs) ~50x
+    # slower than a single contiguous buffer
+    return pa.concat_tables(tbls, promote_options="default").combine_chunks()
 
 
 def crawl(

@@ -60,11 +60,38 @@ def absolutize(href: str) -> str:
 FRONTIER_COLS = [
     "url", "host", "depth", "ticker", "cik", "filing_type", "filed_date",
     "accession", "doc_type", "report_num", "seed_rank",
+    "url_sha1", "url_canon_hash",
 ]
 
 
 def _frontier_table(rows: dict[str, list]) -> pa.Table:
+    """Build a frontier-candidate table. The seen-set keys — ``url_sha1``
+    (raw-url sha1, the crawl-order identity) and ``url_canon_hash`` (uint64
+    prefix of sha1(canonicalize(url)), the cuckoo/shard-routing key) — are
+    computed HERE, inside the distributed parse stages, so the frontier
+    admission path never hashes serially on the driver."""
+    import hashlib
+
+    import numpy as np
+
+    from ..state.canonical import canonicalize
+
     n = len(rows["url"])
+    if not n:
+        return pa.table({c: pa.array([], t) for c, t in [
+            ("url", pa.string()), ("host", pa.string()), ("depth", pa.int32()),
+            ("ticker", pa.string()), ("cik", pa.string()), ("filing_type", pa.string()),
+            ("filed_date", pa.string()), ("accession", pa.string()),
+            ("doc_type", pa.string()), ("report_num", pa.int32()),
+            ("seed_rank", pa.int32()), ("url_sha1", pa.binary()),
+            ("url_canon_hash", pa.uint64()),
+        ]})
+    sha = []
+    canon_hash = np.empty(n, dtype=np.uint64)
+    for i, u in enumerate(rows["url"]):
+        sha.append(hashlib.sha1(u.encode()).digest())
+        cu = canonicalize(u)
+        canon_hash[i] = int.from_bytes(hashlib.sha1(cu.encode()).digest()[:8], "big")
     return pa.table(
         {
             "url": pa.array(rows["url"], pa.string()),
@@ -78,14 +105,10 @@ def _frontier_table(rows: dict[str, list]) -> pa.Table:
             "doc_type": pa.array(rows["doc_type"], pa.string()),
             "report_num": pa.array(rows["report_num"], pa.int32()),
             "seed_rank": pa.array(rows["seed_rank"], pa.int32()),
+            "url_sha1": pa.array(sha, pa.binary()),
+            "url_canon_hash": pa.array(canon_hash, pa.uint64()),
         }
-    ) if n else pa.table({c: pa.array([], t) for c, t in [
-        ("url", pa.string()), ("host", pa.string()), ("depth", pa.int32()),
-        ("ticker", pa.string()), ("cik", pa.string()), ("filing_type", pa.string()),
-        ("filed_date", pa.string()), ("accession", pa.string()),
-        ("doc_type", pa.string()), ("report_num", pa.int32()),
-        ("seed_rank", pa.int32()),
-    ]})
+    )
 
 
 def seed_frontier(seed_tickers: pa.Table, filing_types: tuple[str, ...] = ("10-K", "10-Q")
@@ -171,34 +194,53 @@ def parse_index_pages(batch: pa.Table) -> pa.Table:
     return _frontier_table(rows)
 
 
-FACTS_RAW_FIELDS = [
-    ("ticker", pa.string()), ("cik", pa.string()), ("accession", pa.string()),
-    ("filing_type", pa.string()), ("filed_date", pa.string()),
-    ("doc_type", pa.string()), ("report_num", pa.int32()),
-    ("headings", pa.list_(pa.string())),
-    ("rows_idx", pa.list_(pa.int32())),
-    ("rows_cells", pa.list_(pa.list_(pa.string()))),
-]
+def _facts_raw_fields() -> list[tuple[str, pa.DataType]]:
+    from ..schema import FACT_FIELDS, fact_col
+
+    return (
+        [
+            ("ticker", pa.string()), ("cik", pa.string()), ("accession", pa.string()),
+            ("filing_type", pa.string()), ("filed_date", pa.string()),
+            ("doc_type", pa.string()), ("report_num", pa.int32()),
+        ]
+        + [(fact_col(f), pa.float64()) for f in FACT_FIELDS]
+        + [(f"collected_{s}", pa.uint64()) for s in ("entity", "ops", "bs", "cf")]
+    )
+
+
+FACTS_RAW_FIELDS = _facts_raw_fields()
 
 
 def extract_facts(batch: pa.Table) -> pa.Table:
-    """R-report pages -> facts_raw: ONE nested row per page.
+    """R-report pages -> facts_raw: ONE fully-parsed row per page.
 
-    ``rows_cells`` keeps every parsed table row (document order preserved via
-    ``rows_idx`` for first-write-wins determinism,
-    /root/reference/data_def.go:205); ``headings`` drives scale inference
-    (/root/reference/parser.go:307-316). One row per page (instead of one per
-    table row) keeps the merge shuffle ~30x smaller."""
+    The entire per-document half of the reference's finReportParser runs
+    HERE, in the embarrassingly-parallel map stage: tokenizer walk, heading
+    -> scale inference (/root/reference/parser.go:307-316), XBRL tag lookup,
+    number normalization, strict doc gating and within-doc first-write-wins
+    (/root/reference/data_def.go:185-248) — all doc-local because
+    ``doc_type`` is frontier metadata on the fetched row. The output is 27
+    floats + 4 presence bitmasks per page, so the merge shuffle ships ~100
+    bytes/doc instead of every raw table cell, and the cross-doc merge
+    reduces to first-nonzero-by-doc-priority + OR of bitmasks (exactly
+    equivalent to the shared-struct replay, see stages/merge.py)."""
+    from ..functions.report import apply_doc_rows, new_financial_report
+    from ..schema import FACT_FIELDS, fact_col
+
     out = {name: [] for name, _ in FACTS_RAW_FIELDS}
     cols = batch.to_pydict()
     for i in range(batch.num_rows):
         headings, rows = fin_report_raw(cols["html"][i])
+        doc_type = cols["doc_type"][i]
+        fr = new_financial_report(cols["filing_type"][i])
+        apply_doc_rows(fr, doc_type, headings, rows)
         for key in ("ticker", "cik", "accession", "filing_type", "filed_date",
                     "doc_type", "report_num"):
             out[key].append(cols[key][i])
-        out["headings"].append(headings)
-        out["rows_idx"].append([idx for idx, _ in rows])
-        out["rows_cells"].append([cells for _, cells in rows])
+        for f in FACT_FIELDS:
+            out[fact_col(f)].append(fr[f.struct][f.name])
+        for s in ("entity", "ops", "bs", "cf"):
+            out[f"collected_{s}"].append(fr[s]["CollectedData"])
     return pa.table({name: pa.array(out[name], typ) for name, typ in FACTS_RAW_FIELDS})
 
 

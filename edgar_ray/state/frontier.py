@@ -4,18 +4,24 @@ order (north rule; generalizes the reference's FilingLinks map,
 
 Shards are ``@ray.remote`` actors — the one place the Dataset API genuinely
 can't express the semantics (a shared mutable index with admission ordering).
-Routing: ``shard = hash(host) % num_shards`` so exactly one actor owns a
-host's politeness budget (hash-partitioning on host per the north rule); fetch
-parallelism within a hot host is recovered downstream by salting the fetch
-partition key with sha1(url) — admission stays host-global here.
 
-Each shard holds:
-- a :class:`CuckooFilter` seen-set shard (checkpointable to bytes),
-- per-host token buckets (``host_budget`` req/sec on a simulated clock —
-  admitted URLs get monotone ``scheduled_at`` offsets; ``politeness_deferred``
-  counts admissions pushed past their wave-arrival instant),
-- per-wave admission counters (urls_in / admitted / dedup_hits) — the
-  per-partition lineage that checkpoints to Parquet.
+Two independent partitionings, per the north rule's skew clause:
+
+- **Dedup shards by url hash** (``url_canon_hash % num_shards``, SURVEY.md
+  §2.7 D5): the cuckoo seen-set is keyed on sha1(canonicalize(url)), which is
+  uniform, so admission parallelizes even when EVERY candidate lives on one
+  hot host (sec.gov — the exact skew the north star names). All copies of a
+  canonical URL route to the same shard, so first-wins stays exact.
+- **Politeness by host, host-global**: one token per ``1/host_budget`` seconds
+  per host on a simulated clock carried across waves. Slot assignment runs
+  once per wave over frontier METADATA in global priority order — a single
+  vectorized pass per host (O(urls) numpy, no page bytes) — so it is NOT a
+  scaling bottleneck; at 10^10 scale it becomes one scheduler actor per host
+  hash range holding the same ``host -> next_slot`` dict.
+
+Each dedup shard holds a :class:`CuckooFilter` shard (checkpointable to
+bytes) and per-wave admission counters (urls_in / admitted / dedup_hits) —
+the per-partition lineage that checkpoints to Parquet.
 
 BFS order: the pipeline admits wave-by-wave; within a wave the crawl order is
 the deterministic priority ``(seed_rank, filing_type, filed_date desc,
@@ -41,6 +47,8 @@ PRIORITY_COLS = ("seed_rank", "filing_type", "filed_date", "report_num", "url")
 
 
 def shard_of(host: str, num_shards: int) -> int:
+    """Legacy host-hash routing (kept for host-owner components like robots
+    caches; dedup routing uses url_canon_hash % num_shards)."""
     return zlib.crc32(host.encode()) % num_shards
 
 
@@ -58,38 +66,112 @@ def _priority_sort(tbl: pa.Table) -> pa.Table:
     )
 
 
+def _ensure_keys(tbl: pa.Table) -> pa.Table:
+    """Append url_sha1/url_canon_hash if the candidate table lacks them
+    (candidates produced by the parse stages already carry both)."""
+    import hashlib
+
+    if "url_canon_hash" in tbl.column_names:
+        return tbl
+    urls = tbl["url"].to_pylist()
+    sha = [hashlib.sha1(u.encode()).digest() for u in urls]
+    ch = hash_urls([canonicalize(u) for u in urls])
+    if "url_sha1" not in tbl.column_names:
+        tbl = tbl.append_column("url_sha1", pa.array(sha, pa.binary()))
+    return tbl.append_column("url_canon_hash", pa.array(ch, pa.uint64()))
+
+
 @ray.remote
 class FrontierShard:
-    """One frontier shard: seen-set + politeness for the hosts it owns."""
+    """One dedup shard: the cuckoo seen-set slice for its url-hash range."""
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 16,
-                 host_budget: float = 100.0):
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
-        self.host_budget = float(host_budget)
-        self.host_next_slot: dict[str, float] = {}  # host -> next free time offset
         self.lineage: list[dict] = []
 
     def admit(self, tbl: pa.Table, wave: int) -> pa.Table:
-        """Dedup + politeness-schedule one wave's candidate URLs routed to
-        this shard. Returns the admitted rows (priority-sorted) with
-        ``url_sha1`` and ``scheduled_at`` columns appended."""
-        # sort BEFORE dedup so when one URL arrives under two priority keys
-        # (e.g. a duplicate query-page listing with an older date) the
-        # highest-priority copy deterministically survives
-        tbl = _priority_sort(tbl)
-        urls = [canonicalize(u) for u in tbl["url"].to_pylist()]
-        fresh = self.filter.add_many(hash_urls(urls)) if urls else np.zeros(0, bool)
-        admitted = tbl.filter(pa.array(fresh)) if len(fresh) else tbl
+        """Dedup one wave's candidate slice. Returns the fresh rows.
 
-        # politeness: one token per 1/budget seconds per host on a simulated
-        # clock carried across waves; admissions are never allowed to exceed
-        # the budget (violations = 0 by construction), `deferred` counts URLs
-        # this wave pushed >= 1s past the host's wave-start slot.
-        # Vectorized per host: slots are start + step*arange (the admitted
-        # table is priority-sorted, so per-host arrival order is the sorted
-        # order).
-        hosts = np.asarray(admitted["host"].to_pylist(), dtype=object)
+        The slice is priority-sorted BEFORE dedup so when one URL arrives
+        under two priority keys (e.g. a duplicate query-page listing with an
+        older date) the highest-priority copy deterministically survives —
+        exact because all copies of a canonical URL hash to this shard."""
+        tbl = _priority_sort(tbl)
+        h = tbl["url_canon_hash"].to_numpy().astype(np.uint64, copy=False)
+        fresh = self.filter.add_many(h) if len(h) else np.zeros(0, bool)
+        admitted = tbl.filter(pa.array(fresh)) if len(fresh) else tbl
+        self.lineage.append(
+            {
+                "shard": self.shard_id,
+                "wave": wave,
+                "urls_in": tbl.num_rows,
+                "admitted": admitted.num_rows,
+                "dedup_hits": tbl.num_rows - admitted.num_rows,
+                "politeness_violations": 0,  # enforced by construction
+                "politeness_deferred": 0,  # accounted on the scheduler row
+            }
+        )
+        return admitted
+
+    def lineage_rows(self) -> list[dict]:
+        return self.lineage
+
+    def checkpoint(self) -> tuple[bytes, dict]:
+        state = {"shard_id": self.shard_id, "lineage": self.lineage}
+        return self.filter.to_bytes(), state
+
+    def restore(self, blob: bytes, state: dict) -> None:
+        self.filter = CuckooFilter.from_bytes(blob)
+        self.lineage = list(state["lineage"])
+
+
+class Frontier:
+    """Driver-side handle over the shard pool + the host-global scheduler.
+
+    A wave's candidate table is routed to dedup shards by url hash; each
+    shard dedups its slice in parallel; the driver k-way-merges the fresh
+    rows back into the global priority order, assigns politeness slots per
+    host and the global ``seq``. Only frontier METADATA (urls + keys, no
+    page bytes) crosses the driver — at 10^10 scale this merge becomes the
+    standard bucket prefix-sum (count per priority bucket, exclusive-scan
+    offsets, per-bucket local sort), which the shard-local sorted slices
+    here are step one of.
+    """
+
+    def __init__(self, num_shards: int = 4, capacity: int = 1 << 16,
+                 host_budget: float = 100.0):
+        self.num_shards = num_shards
+        self.shards = [
+            FrontierShard.remote(i, max(1024, capacity // num_shards))
+            for i in range(num_shards)
+        ]
+        self.host_budget = float(host_budget)
+        self.host_next_slot: dict[str, float] = {}  # host -> next free offset
+        self.driver_lineage: list[dict] = []  # scheduler rows (shard = -1)
+        self.next_seq = 0
+
+    def admit_wave(self, tbl: pa.Table, wave: int) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        tbl = _ensure_keys(tbl)
+        hashes = tbl["url_canon_hash"].to_numpy().astype(np.uint64, copy=False)
+        shard_ids = hashes % np.uint64(self.num_shards)
+        futs = []
+        for s in range(self.num_shards):
+            part = tbl.filter(pa.array(shard_ids == s))
+            if part.num_rows:
+                futs.append(self.shards[s].admit.remote(part, wave))
+        parts = [p for p in ray.get(futs) if p.num_rows]
+        if not parts:
+            return tbl.slice(0, 0)
+        merged = _priority_sort(pa.concat_tables(parts))
+
+        # politeness: slot assignment in global priority order, host-global
+        # (admissions never exceed the budget -> violations = 0 by
+        # construction; `deferred` counts URLs pushed >= 1s past the host's
+        # wave-start slot). Vectorized per host: slots = start + step*arange.
+        hosts = np.asarray(merged["host"].to_pylist(), dtype=object)
         sched = np.empty(len(hosts), dtype=np.float64)
         deferred = 0
         step = 1.0 / self.host_budget
@@ -100,81 +182,19 @@ class FrontierShard:
             sched[idx] = slots
             deferred += int((slots - start >= 1.0).sum())
             self.host_next_slot[h] = float(start + step * len(idx))
-
-        import hashlib
-        sha = pa.array([hashlib.sha1(u.encode()).digest()
-                        for u in admitted["url"].to_pylist()], pa.binary())
-        admitted = admitted.append_column("url_sha1", sha)
-        admitted = admitted.append_column("scheduled_at", pa.array(sched, pa.float64()))
-
-        self.lineage.append(
+        merged = merged.append_column("scheduled_at", pa.array(sched, pa.float64()))
+        self.driver_lineage.append(
             {
-                "shard": self.shard_id,
+                "shard": -1,  # the host-global scheduler partition
                 "wave": wave,
-                "urls_in": tbl.num_rows,
-                "admitted": admitted.num_rows,
-                "dedup_hits": tbl.num_rows - admitted.num_rows,
-                "politeness_violations": 0,  # enforced by construction
+                "urls_in": 0,
+                "admitted": 0,
+                "dedup_hits": 0,
+                "politeness_violations": 0,
                 "politeness_deferred": deferred,
             }
         )
-        return admitted
 
-    def lineage_rows(self) -> list[dict]:
-        return self.lineage
-
-    def checkpoint(self) -> tuple[bytes, dict]:
-        state = {
-            "shard_id": self.shard_id,
-            "host_next_slot": self.host_next_slot,
-            "host_budget": self.host_budget,
-            "lineage": self.lineage,
-        }
-        return self.filter.to_bytes(), state
-
-    def restore(self, blob: bytes, state: dict) -> None:
-        self.filter = CuckooFilter.from_bytes(blob)
-        self.host_next_slot = dict(state["host_next_slot"])
-        self.host_budget = float(state["host_budget"])
-        self.lineage = list(state["lineage"])
-
-
-class Frontier:
-    """Driver-side handle over the shard pool.
-
-    A wave's candidate table is routed to shards by host hash; each shard
-    dedups/schedules its slice; the driver k-way-merges the per-shard results
-    back into the global priority order and assigns the global ``seq``. Only
-    frontier METADATA (urls + keys, no page bytes) crosses the driver — at
-    10^10 scale this merge becomes the standard bucket prefix-sum (count per
-    priority bucket, exclusive-scan offsets, per-bucket local sort), which the
-    shard-local sorted slices here are step one of.
-    """
-
-    def __init__(self, num_shards: int = 4, capacity: int = 1 << 16,
-                 host_budget: float = 100.0):
-        self.num_shards = num_shards
-        self.shards = [
-            FrontierShard.remote(i, max(1024, capacity // num_shards), host_budget)
-            for i in range(num_shards)
-        ]
-        self.next_seq = 0
-
-    def admit_wave(self, tbl: pa.Table, wave: int) -> pa.Table:
-        if tbl.num_rows == 0:
-            return tbl
-        shard_ids = pa.array(
-            [shard_of(h, self.num_shards) for h in tbl["host"].to_pylist()],
-            pa.int32(),
-        )
-        tbl2 = tbl.append_column("_shard", shard_ids)
-        futs = []
-        for s in range(self.num_shards):
-            part = tbl2.filter(pa.compute.equal(tbl2["_shard"], s)).drop_columns(["_shard"])
-            if part.num_rows:
-                futs.append(self.shards[s].admit.remote(part, wave))
-        parts = ray.get(futs)
-        merged = _priority_sort(pa.concat_tables([p for p in parts if p.num_rows]))
         seq = pa.array(
             np.arange(self.next_seq, self.next_seq + merged.num_rows, dtype=np.int64)
         )
@@ -184,7 +204,7 @@ class Frontier:
         return merged.append_column("wave", wave_col)
 
     def lineage_table(self) -> pa.Table:
-        rows: list[dict] = []
+        rows: list[dict] = list(self.driver_lineage)
         for part in ray.get([s.lineage_rows.remote() for s in self.shards]):
             rows.extend(part)
         if not rows:
@@ -204,7 +224,16 @@ class Frontier:
             os.path.join(ckpt_dir, "frontier_shards.parquet"),
         )
         with open(os.path.join(ckpt_dir, "frontier_meta.json"), "w") as f:
-            json.dump({"num_shards": self.num_shards, "next_seq": self.next_seq}, f)
+            json.dump(
+                {
+                    "num_shards": self.num_shards,
+                    "next_seq": self.next_seq,
+                    "host_budget": self.host_budget,
+                    "host_next_slot": self.host_next_slot,
+                    "driver_lineage": self.driver_lineage,
+                },
+                f,
+            )
 
     def restore(self, ckpt_dir: str) -> None:
         tbl = pq.read_table(os.path.join(ckpt_dir, "frontier_shards.parquet"))
@@ -212,6 +241,9 @@ class Frontier:
             meta = json.load(f)
         assert meta["num_shards"] == self.num_shards, "shard count must match"
         self.next_seq = meta["next_seq"]
+        self.host_budget = float(meta.get("host_budget", self.host_budget))
+        self.host_next_slot = dict(meta.get("host_next_slot", {}))
+        self.driver_lineage = list(meta.get("driver_lineage", []))
         futs = []
         for i in range(tbl.num_rows):
             row = tbl.slice(i, 1).to_pylist()[0]
