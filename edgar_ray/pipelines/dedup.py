@@ -3,9 +3,12 @@ ops a 100 TB corpus needs (exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine), each expressed as Ray Data stages.
 
 Scale shape: every variant reduces to (1) a vectorized per-batch signature
-stage, (2) a hash-shuffle on the signature key, (3) per-group resolution.
-Nothing materializes the corpus on the driver; candidate verification happens
-inside the bucket groups.
+stage, (2) a hash-bucketed shuffle on the signature key (constant fan-out —
+see stages/bucketing.py for why grouping by the raw near-unique key would be
+one Python call per key), (3) vectorized per-bucket resolution (numpy
+lexsort + reduceat segmentation; only colliding segments pay pairwise work).
+Nothing materializes the corpus on the driver; candidate verification
+happens inside the bucket groups.
 """
 
 from __future__ import annotations
@@ -15,9 +18,15 @@ import os
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from ..stages.bucketing import grouped_apply, segment_sort
+
+NUM_BUCKETS = 64
+
+# byte-popcount lookup for vectorized hamming distance
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _docs(sf_dir: str, columns=None):
@@ -25,8 +34,31 @@ def _docs(sf_dir: str, columns=None):
                            columns=columns or ["doc_id", "text"])
 
 
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _pair_table(out_a: list[int], out_b: list[int]) -> pa.Table:
+    return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                     "id_b": pa.array(out_b, pa.int64())})
+
+
+def _distinct_pairs(cand):
+    """Distinct (id_a, id_b) pairs — bucketed + per-bucket np.unique."""
+
+    def uniq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts = segment_sort(a, b)
+        keep = order[starts]
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+
+    return grouped_apply(cand, ["id_a", "id_b"], uniq, NUM_BUCKETS)
+
+
 # ---------------------------------------------------------------------------
-# Exact dedup: content hash -> hash-partition -> per-group first
+# Exact dedup: content hash -> bucketed hash-partition -> per-group min
 # ---------------------------------------------------------------------------
 
 
@@ -39,13 +71,20 @@ def dedup_exact(sf_dir: str):
         hs = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.string())})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
+    def bucket_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(np.asarray(t["h"].to_pylist(), dtype=object),
+                           return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.nonzero(np.r_[True, inv[order][1:] != inv[order][:-1]])[0]
+        mins = np.minimum.reduceat(ids[order], starts)
+        return pa.table({"doc_id": pa.array(mins, pa.int64())})
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(first, batch_format="pandas")
+    return grouped_apply(
+        ds.map_batches(add_hash, batch_format="pyarrow"), ["h"], bucket_min,
+        NUM_BUCKETS,
     )
 
 
@@ -54,20 +93,35 @@ def dedup_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _WORD_RE = re.compile(r"\w+")
+_C1, _C2, _C3 = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+                 np.uint64(0x165667B19E3779F9))
 
 
-def _shingles(text: str, k: int = 3) -> set[int]:
+def _word_hashes(text: str) -> np.ndarray:
+    """Stable 64-bit hash per lowercase word (blake2b — process-stable, unlike
+    Python's salted hash())."""
     words = _WORD_RE.findall(text.lower())
-    if len(words) < k:
-        if not words:
-            return set()
-        h = hashlib.blake2b(" ".join(words).encode(), digest_size=8).digest()
-        return {int.from_bytes(h, "big")}
-    out = set()
-    for i in range(len(words) - k + 1):
-        h = hashlib.blake2b(" ".join(words[i:i + k]).encode(), digest_size=8).digest()
-        out.add(int.from_bytes(h, "big"))
-    return out
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+         for w in words),
+        dtype=np.uint64, count=len(words),
+    )
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-word shingle hashes via a vectorized rolling combine of word hashes
+    (position-weighted so ABC != CBA)."""
+    hw = _word_hashes(text)
+    if len(hw) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(hw) < k:
+        acc = np.uint64(0)
+        for i, h in enumerate(hw):
+            acc ^= h * (_C1, _C2, _C3)[i % 3]
+        return np.array([acc], dtype=np.uint64)
+    sh = hw[: len(hw) - k + 1] * _C1 ^ hw[1: len(hw) - k + 2] * _C2 \
+        ^ hw[2: len(hw) - k + 3] * _C3
+    return np.unique(sh)
 
 
 class MinHasher:
@@ -82,7 +136,7 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.fromiter(_shingles(text), dtype=np.uint64, count=-1)
+        sh = _shingle_hashes(text)
         if len(sh) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         # (a * x + b) mod p for all perms x shingles, take min per perm
@@ -94,75 +148,83 @@ class MinHasher:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+                # fixed-width binary blob: ~10x cheaper to build/ship than a
+                # list<uint64> of python ints
+                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
             }
         )
 
 
 def minhash_bands(t: pa.Table, bands: int = 16, rows: int = 4) -> pa.Table:
-    """Explode signatures to (band_id, band_hash, doc_id) rows."""
-    doc_ids, band_ids, band_hashes, sigs_out = [], [], [], []
-    sig_col = t["sig"].to_pylist()
-    ids = t["doc_id"].to_pylist()
-    for did, sig in zip(ids, sig_col):
-        for b in range(bands):
-            chunk = sig[b * rows:(b + 1) * rows]
-            # process-stable hash (Python's hash() is salted per process and
-            # would break the cross-worker groupby collision)
-            blob = np.asarray(chunk, dtype=np.uint64).tobytes() + bytes([b])
-            bh = int.from_bytes(
-                hashlib.blake2b(blob, digest_size=8).digest(), "big"
-            ) & 0x7FFFFFFFFFFFFFFF
-            doc_ids.append(did)
-            band_ids.append(b)
-            band_hashes.append(bh)
-            sigs_out.append(sig)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            "sig": pa.array(sigs_out, pa.list_(pa.uint64())),
-        }
-    )
+    """Explode signatures to (doc_id, band_id, band_hash, sig) rows —
+    band hashes computed vectorized over the whole batch."""
+    n = t.num_rows
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "band_id": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64()),
+                         "sig": pa.array([], pa.binary())})
+    sig_blobs = t["sig"].to_pylist()
+    mat = np.frombuffer(b"".join(sig_blobs), dtype=np.uint64).reshape(n, bands, rows)
+    bh = np.full((n, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    for r in range(rows):
+        bh = (bh * np.uint64(0x100000001B3)) ^ mat[:, :, r]
+    bh ^= np.uint64(np.arange(bands) * 0x9E3779B9)[None, :]  # salt by band id
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(ids, bands)),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array((bh.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)),
+        "sig": pa.array([blob for blob in sig_blobs for _ in range(bands)], pa.binary()),
+    })
+
+
+from ..stages.cache import cached_instance as _cached  # noqa: E402
 
 
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16):
-    """MinHash+LSH near-dup pairs: shingle -> minhash (actor pool) -> band
-    explode -> groupby(band) -> verified candidate pairs (estimated Jaccard =
-    matching minhash fraction >= threshold). Returns unique (id_a, id_b)."""
+    """MinHash+LSH near-dup pairs: shingle -> minhash + band explode (one
+    fused map stage) -> bucketed groupby(band_id, band_hash) -> verified
+    candidate pairs (estimated Jaccard = matching minhash fraction >=
+    threshold). Returns unique (id_a, id_b)."""
     rows = num_perm // bands
     ds = _docs(sf_dir)
-    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
-                          batch_format="pyarrow", concurrency=(1, 8))
-    banded = sigs.map_batches(
-        lambda t: minhash_bands(t, bands=bands, rows=rows), batch_format="pyarrow"
-    )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs_ = np.stack(g["sig"].to_numpy())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            est = (sigs_[i + 1:] == sigs_[i]).mean(axis=1)
-            hits = np.nonzero(est >= threshold)[0]
-            for j in hits:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def sig_and_bands(t: pa.Table) -> pa.Table:
+        sigs = _cached(MinHasher, num_perm=num_perm)(t)
+        return minhash_bands(sigs, bands=bands, rows=rows)
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    # distinct pairs (a pair can surface from several bands)
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    banded = ds.map_batches(sig_and_bands, batch_format="pyarrow")
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(dedup_pair, batch_format="pandas")
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        band_id = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band_hash = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts = segment_sort(band_id, band_hash)
+        sizes = np.diff(np.r_[starts, len(order)])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        blobs = t["sig"].to_pylist()
+        for s, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            seg = order[s:s + m]
+            seg = seg[np.argsort(ids[seg], kind="stable")]
+            sig_mat = np.frombuffer(
+                b"".join(blobs[i] for i in seg), dtype=np.uint64
+            ).reshape(m, -1)
+            seg_ids = ids[seg]
+            for i in range(m - 1):
+                est = (sig_mat[i + 1:] == sig_mat[i]).mean(axis=1)
+                for j in np.nonzero(est >= threshold)[0]:
+                    out_a.append(int(seg_ids[i]))
+                    out_b.append(int(seg_ids[i + 1 + j]))
+        return _pair_table(out_a, out_b)
+
+    cand = grouped_apply(banded, ["band_id", "band_hash"], bucket_pairs,
+                         NUM_BUCKETS)
+    return _distinct_pairs(cand)
 
 
 # ---------------------------------------------------------------------------
@@ -175,15 +237,12 @@ class SimHasher:
     `hamming_max` bits. Buckets on 4x16-bit chunks so any pair within
     hamming distance 3 collides in >=1 chunk (pigeonhole)."""
 
-    def __init__(self):
-        self.word = _WORD_RE
-
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in self.word.findall(text.lower()):
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), np.uint8))
-            acc += bits.astype(np.int64) * 2 - 1
+        hw = _word_hashes(text)
+        if len(hw) == 0:
+            return 0
+        bits = np.unpackbits(hw.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+        acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
         return int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -194,43 +253,50 @@ class SimHasher:
 
 def dedup_simhash(sf_dir: str, hamming_max: int = 3):
     """SimHash near-dup pairs via 16-bit chunk bucketing + in-bucket hamming
-    verification."""
+    verification (vectorized popcount)."""
     ds = _docs(sf_dir)
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+    sigs = ds.map_batches(lambda t: _cached(SimHasher)(t), batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, chunk_ids, chunk_vals, full = [], [], [], []
-        for did, sh in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
-            u = sh + (1 << 63)
-            for c in range(4):
-                ids.append(did)
-                chunk_ids.append(c)
-                chunk_vals.append((u >> (16 * c)) & 0xFFFF)
-                full.append(sh)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "chunk_id": pa.array(chunk_ids, pa.int32()),
-                         "chunk_val": pa.array(chunk_vals, pa.int32()),
-                         "simhash": pa.array(full, pa.int64())})
+        n = t.num_rows
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sh.astype(np.uint64) + np.uint64(1 << 63)
+        chunk_ids = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (np.uint64(16) * chunk_ids.astype(np.uint64))
+        chunk_vals = ((np.repeat(u, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.repeat(ids, 4)),
+                         "chunk_id": pa.array(chunk_ids),
+                         "chunk_val": pa.array(chunk_vals),
+                         "simhash": pa.array(np.repeat(sh, 4))})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = (g["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            x = hs[i + 1:] ^ hs[i]
-            dist = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(dist <= hamming_max)[0]:
-                out_a.append(int(ids[i])); out_b.append(int(ids[i + 1 + j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        cid = t["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cval = t["chunk_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = (t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+              .astype(np.uint64) + np.uint64(1 << 63))
+        order, starts = segment_sort(cid, cval)
+        sizes = np.diff(np.r_[starts, len(order)])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for s, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            seg = order[s:s + m]
+            seg = seg[np.argsort(ids[seg], kind="stable")]
+            seg_ids, seg_hs = ids[seg], hs[seg]
+            for i in range(m - 1):
+                x = seg_hs[i + 1:] ^ seg_hs[i]
+                dist = _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1)
+                for j in np.nonzero(dist <= hamming_max)[0]:
+                    out_a.append(int(seg_ids[i]))
+                    out_b.append(int(seg_ids[i + 1 + j]))
+        return _pair_table(out_a, out_b)
 
-    cand = sigs.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["chunk_id", "chunk_val"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    cand = grouped_apply(sigs.map_batches(explode, batch_format="pyarrow"),
+                         ["chunk_id", "chunk_val"], bucket_pairs, NUM_BUCKETS)
+    return _distinct_pairs(cand)
 
 
 # ---------------------------------------------------------------------------
@@ -248,33 +314,40 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 3):
     def add_key(t: pa.Table) -> pa.Table:
         keys, shingle_sets = [], []
         for s in t["text"].to_pylist():
-            sh = _shingles(s, k)
-            keys.append(min(sh) if sh else 0)
-            shingle_sets.append(sorted(sh))
+            sh = _shingle_hashes(s, k)
+            keys.append(int(sh.min()) if len(sh) else 0)
+            shingle_sets.append(sh.tobytes())
         return pa.table({"doc_id": t["doc_id"],
                          "min_shingle": pa.array(keys, pa.uint64()),
-                         "shingles": pa.array(shingle_sets, pa.list_(pa.uint64()))})
+                         "shingles": pa.array(shingle_sets, pa.binary())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sets = [set(s) for s in g["shingles"]]
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                if union and inter / union >= threshold:
-                    out_a.append(int(ids[i])); out_b.append(int(ids[j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        key = t["min_shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = t["shingles"].to_pylist()
+        order, starts = segment_sort(key)
+        sizes = np.diff(np.r_[starts, len(order)])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for s, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            seg = order[s:s + m]
+            seg = seg[np.argsort(ids[seg], kind="stable")]
+            sets = [set(np.frombuffer(blobs[i], dtype=np.uint64).tolist())
+                    for i in seg]
+            seg_ids = ids[seg]
+            for i in range(m):
+                for j in range(i + 1, m):
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    if union and inter / union >= threshold:
+                        out_a.append(int(seg_ids[i]))
+                        out_b.append(int(seg_ids[j]))
+        return _pair_table(out_a, out_b)
 
-    return (
-        ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("min_shingle")
-        .map_groups(pairs, batch_format="pandas")
-    )
+    return grouped_apply(ds.map_batches(add_key, batch_format="pyarrow"),
+                         ["min_shingle"], bucket_pairs, NUM_BUCKETS)
 
 
 # ---------------------------------------------------------------------------
@@ -290,38 +363,35 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.4, limit_ids: int =
     similarity.ann_lsh)."""
     import ray
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
-    def cap(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids < limit_ids))
-
-    capped = ds.map_batches(cap, batch_format="pyarrow")
-    mat_tbl = capped.to_pandas()
-    ids = mat_tbl["vec_id"].to_numpy()
-    mat = np.stack(mat_tbl["embedding"].to_numpy()).astype(np.float64)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    # small side: predicate-pushdown read of only the capped candidate rows
+    # (row-group pruning at the source), broadcast once via ray.put
+    small = pq.read_table(path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", limit_ids)])
+    ids = small["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(small["embedding"].to_pylist()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 
-    class PairFinder:
-        def __init__(self, r):
-            self.ids, self.mat = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+    def pair_find(t: pa.Table) -> pa.Table:
+        b_ids, b_mat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        my_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        vecs = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        cos = vecs @ b_mat.T
+        ii, jj = np.nonzero(cos >= threshold)
+        a = my_ids[ii].astype(np.int64)
+        b = b_ids[jj].astype(np.int64)
+        keep = a < b
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            my_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            vecs = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-            cos = vecs @ self.mat.T
-            out_a, out_b = [], []
-            for i in range(len(my_ids)):
-                hits = np.nonzero(cos[i] >= threshold)[0]
-                for j in hits:
-                    a, b = int(my_ids[i]), int(self.ids[j])
-                    if a < b:
-                        out_a.append(a); out_b.append(b)
-            return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                             "id_b": pa.array(out_b, pa.int64())})
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
-    return capped.map_batches(PairFinder, fn_constructor_args=(ref,),
-                              batch_format="pyarrow", concurrency=(1, 4))
+    def cap(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["vec_id"], pa.scalar(limit_ids)))
+
+    return ds.map_batches(cap, batch_format="pyarrow").map_batches(
+        pair_find, batch_format="pyarrow")

@@ -212,14 +212,14 @@ def q_top25_global(sf_dir: str):
 
 def q_topk_per_group(sf_dir: str):
     """Per-group top-k (the per-(ticker,type) 10-filing frontier breadth,
-    O3): 3 newest orders per customer, groupby(custkey).map_groups."""
+    O3): 3 newest orders per customer — hash-bucketed, one vectorized pass
+    per bucket (a Python call per customer would be millions of calls at
+    scale; see stages/bucketing.py)."""
+    from ..stages.bucketing import bucketed_group_head
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def head3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["o_orderdate", "o_orderkey"],
-                             ascending=[False, False]).head(3)
-
-    return ds.groupby("o_custkey").map_groups(head3, batch_format="pandas")
+    return bucketed_group_head(ds, ["o_custkey"],
+                               ["o_orderdate", "o_orderkey"], [True, True], 3)
 
 
 # ---------------------------------------------------------------------------
@@ -230,27 +230,26 @@ def q_topk_per_group(sf_dir: str):
 def q_last_wins(sf_dir: str):
     """Date-keyed last-wins dedup (D2, /root/reference/parser.go:47): latest
     event per (user_id, event_type)."""
+    from ..stages.bucketing import bucketed_group_head
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
-
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
-
-    return ds.groupby(["user_id", "event_type"]).map_groups(latest, batch_format="pandas")
+    return bucketed_group_head(ds, ["user_id", "event_type"],
+                               ["ts", "event_id"], [True, True], 1)
 
 
 def q_first_wins(sf_dir: str):
     """Order-preserving first-wins (D3/D4, /root/reference/reportmap.go:139-142,
     data_def.go:205): first lineitem per order by linenumber."""
+    from ..stages.bucketing import bucketed_group_head
+
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        # linenumber is NOT unique per order in this data; full-column
-        # tie-break keeps the winner deterministic (the reference's
-        # first-wins is deterministic only via document order, D4)
-        return g.sort_values(["l_linenumber", "l_partkey", "l_quantity"]).head(1)
-
-    return ds.groupby("l_orderkey").map_groups(first, batch_format="pandas")
+    # linenumber is NOT unique per order in this data; full-column tie-break
+    # keeps the winner deterministic (the reference's first-wins is
+    # deterministic only via document order, D4)
+    return bucketed_group_head(ds, ["l_orderkey"],
+                               ["l_linenumber", "l_partkey", "l_quantity"],
+                               [False, False, False], 1)
 
 
 def q_distinct_union(sf_dir: str):
@@ -268,10 +267,17 @@ def q_distinct_union(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    import numpy as np
 
-    return a.union(b).groupby("o_orderkey").map_groups(head1, batch_format="pandas")
+    from ..stages.bucketing import grouped_apply
+
+    def distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64())})
+        keys = np.unique(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": pa.array(keys, pa.int64())})
+
+    return grouped_apply(a.union(b), ["o_orderkey"], distinct)
 
 
 # ---------------------------------------------------------------------------
@@ -283,28 +289,30 @@ def q_broadcast_join(sf_dir: str):
     """Broadcast small-side hash join (J1 ticker->CIK,
     /root/reference/page.go:30-39): customer x nation x region rollup. The
     dimension tables ship once via ray.put; the fact side streams."""
+    import numpy as np
+
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    lookup_ref = ray.put(dict(zip(dim["n_nationkey"].astype("int32"), dim["r_name"])))
+    dim = dim.sort_values("n_nationkey")
+    # zero-copy broadcast: sorted key array + aligned name dictionary-coded
+    # Arrow column (a python dict would re-pickle per task)
+    dim_keys = dim["n_nationkey"].to_numpy().astype(np.int64)
+    dim_names = pa.array(dim["r_name"], pa.string())
+    lookup_ref = ray.put((dim_keys, dim_names))
 
-    class AttachRegion:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import numpy as np
-
-            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-            names = [self.lookup.get(int(k), "") for k in keys]
-            bal_c = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
-            return pa.table({"r_name": pa.array(names, pa.string()),
-                             "bal_c": pa.array(bal_c)})
+    def attach_region(t: pa.Table) -> pa.Table:
+        keys_s, names = (ray.get(lookup_ref)
+                         if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref)
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys_s, keys), 0, len(keys_s) - 1)
+        bal_c = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"r_name": names.take(pa.array(pos, pa.int64())),
+                         "bal_c": pa.array(bal_c)})
 
     cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     agg = (
-        cust.map_batches(AttachRegion, fn_constructor_args=(lookup_ref,),
-                         batch_format="pyarrow", concurrency=(1, 4))
+        cust.map_batches(attach_region, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"),
                    Sum("bal_c", alias_name="bal_sum"))
@@ -352,18 +360,17 @@ def q_anti_join(sf_dir: str):
         .select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    order_keys = f_orders.unique("o_custkey")
-    keys_ref = ray.put({int(k) for k in order_keys})
+    import numpy as np
 
-    class DropSeen:
-        def __init__(self, ref):
-            self.seen = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    order_keys = np.unique(np.asarray(f_orders.unique("o_custkey"), dtype=np.int64))
+    keys_ref = ray.put(order_keys)  # sorted uint key array: zero-copy broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
-            mask = pa.array([int(k) not in self.seen for k in keys])
-            return t.filter(mask)
+    def drop_seen(t: pa.Table) -> pa.Table:
+        seen = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(seen, keys), 0, max(len(seen) - 1, 0))
+        hit = seen[pos] == keys if len(seen) else np.zeros(len(keys), bool)
+        return t.filter(pa.array(~hit))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
-    return cust.map_batches(DropSeen, fn_constructor_args=(keys_ref,),
-                            batch_format="pyarrow", concurrency=(1, 4))
+    return cust.map_batches(drop_seen, batch_format="pyarrow")

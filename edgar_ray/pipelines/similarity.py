@@ -19,6 +19,16 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..stages.cache import cached_instance as _cached
+
+
+def _mat(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix, zero-copy through the
+    Arrow values buffer (no per-row Python lists)."""
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(c), -1)
+
 
 def _emb(sf_dir: str):
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -29,9 +39,9 @@ def _query_vec(sf_dir: str, query_id: int) -> np.ndarray:
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    row = t.filter(pc.equal(t["vec_id"], query_id))
+    row = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "==", query_id)])
     v = np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
     return v / max(np.linalg.norm(v), 1e-12)
 
@@ -39,14 +49,14 @@ def _query_vec(sf_dir: str, query_id: int) -> np.ndarray:
 class _BatchTopK:
     """Partial top-k per batch against the broadcast query matrix."""
 
-    def __init__(self, q_ref, k: int):
+    def __init__(self, q_ref=None, k: int = 10):
         q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
         self.q = q  # (n_queries, dim), rows unit-norm
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        mat = _mat(t["embedding"])
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         cos = mat @ self.q.T  # (batch, n_queries)
         out_q, out_id, out_cos = [], [], []
@@ -68,8 +78,8 @@ def knn_brute(sf_dir: str, query_id: int = 0, k: int = 10):
     q = _query_vec(sf_dir, query_id)[None, :]
     q_ref = ray.put(q)
     partial = _emb(sf_dir).map_batches(
-        _BatchTopK, fn_constructor_args=(q_ref, k),
-        batch_format="pyarrow", concurrency=(1, 8)
+        lambda t: _cached(_BatchTopK, q_ref=q_ref, k=k)(t),
+        batch_format="pyarrow",
     )
     return (
         partial.sort(["cos", "vec_id"], descending=[True, False])
@@ -81,7 +91,7 @@ def knn_brute(sf_dir: str, query_id: int = 0, k: int = 10):
 class _LshSig:
     """Sign-bit signatures under R random hyperplanes (seeded per pool)."""
 
-    def __init__(self, dim: int, nbits: int = 12, seed: int = 11):
+    def __init__(self, dim: int = 0, nbits: int = 12, seed: int = 11):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((nbits, dim))
         self.weights = (1 << np.arange(nbits)).astype(np.int64)
@@ -90,7 +100,7 @@ class _LshSig:
         return ((vecs @ self.planes.T) > 0).astype(np.int64) @ self.weights
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        mat = _mat(t["embedding"])
         return pa.table({"vec_id": t["vec_id"],
                          "bucket": pa.array(self.bucket_of(mat), pa.int64()),
                          "embedding": t["embedding"]})
@@ -104,28 +114,29 @@ def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10, nbits: int = 8):
     dim = len(q)
     sig = _LshSig(dim, nbits)
     q_bucket = int(sig.bucket_of(q[None, :])[0])
-    probes = {q_bucket} | {q_bucket ^ (1 << b) for b in range(nbits)}
+    probes = np.unique(np.array(
+        [q_bucket] + [q_bucket ^ (1 << b) for b in range(nbits)], dtype=np.int64))
     probes_ref = ray.put(probes)
     q_ref = ray.put(q[None, :])
 
     ds = _emb(sf_dir).map_batches(
-        _LshSig, fn_constructor_args=(dim, nbits),
-        batch_format="pyarrow", concurrency=(1, 8)
+        lambda t: _cached(_LshSig, dim=dim, nbits=nbits)(t),
+        batch_format="pyarrow",
     )
 
-    class ProbeFilter:
-        def __init__(self, pr):
-            self.probes = ray.get(pr) if isinstance(pr, ray.ObjectRef) else pr
+    def probe_filter(t: pa.Table) -> pa.Table:
+        probes = ray.get(probes_ref) if isinstance(probes_ref, ray.ObjectRef) \
+            else probes_ref
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(probes, b), 0, len(probes) - 1)
+        return t.filter(pa.array(probes[pos] == b)) \
+            .select(["vec_id", "embedding"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            b = t["bucket"].to_numpy(zero_copy_only=False)
-            mask = pa.array([int(x) in self.probes for x in b])
-            return t.filter(mask).select(["vec_id", "embedding"])
-
-    cand = ds.map_batches(ProbeFilter, fn_constructor_args=(probes_ref,),
-                          batch_format="pyarrow", concurrency=(1, 4))
-    partial = cand.map_batches(_BatchTopK, fn_constructor_args=(q_ref, k),
-                               batch_format="pyarrow", concurrency=(1, 4))
+    cand = ds.map_batches(probe_filter, batch_format="pyarrow")
+    partial = cand.map_batches(
+        lambda t: _cached(_BatchTopK, q_ref=q_ref, k=k)(t),
+        batch_format="pyarrow",
+    )
     return (
         partial.sort(["cos", "vec_id"], descending=[True, False])
         .limit(k)
@@ -139,8 +150,8 @@ def knn_batch(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5
     qs = np.stack([_query_vec(sf_dir, qid) for qid in query_ids])
     q_ref = ray.put(qs)
     partial = _emb(sf_dir).map_batches(
-        _BatchTopK, fn_constructor_args=(q_ref, k),
-        batch_format="pyarrow", concurrency=(1, 8)
+        lambda t: _cached(_BatchTopK, q_ref=q_ref, k=k)(t),
+        batch_format="pyarrow",
     )
 
     def per_query_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..stages.cache import cached_instance as _cached
+
 
 def _docs(sf_dir: str, columns):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
@@ -46,7 +48,7 @@ class TokenCounter:
 
 def token_pieces(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pyarrow", concurrency=(1, 8)
+        lambda t: _cached(TokenCounter)(t), batch_format="pyarrow"
     )
 
 
@@ -86,7 +88,8 @@ class QualityScorer:
     @staticmethod
     def pipeline(sf_dir: str):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            QualityScorer, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+            lambda b: _cached(QualityScorer)(b), batch_format="pandas",
+            batch_size=4096,
         )
 
 
@@ -163,7 +166,7 @@ class LangId:
 
 def langid(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        LangId, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
+        lambda t: _cached(LangId)(t), batch_format="pyarrow", batch_size=2048
     )
 
 
@@ -176,22 +179,31 @@ class Fingerprinter:
         self.k = k
         self.window = window
 
+    _B = np.uint64(0x100000001B3)
+
     def fingerprint(self, text: str) -> list[int]:
-        data = text.encode()
+        """Vectorized: polynomial rolling k-gram hash (sliding window view x
+        precomputed base powers, uint64 wraparound), then a sliding-window
+        minimum — no per-offset hashlib calls."""
+        data = np.frombuffer(text.encode(), dtype=np.uint8)
+        if len(data) == 0:
+            return []
         if len(data) < self.k:
-            return [int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")] if data else []
-        hs = np.empty(len(data) - self.k + 1, dtype=np.uint64)
-        for i in range(len(hs)):
-            hs[i] = int.from_bytes(
-                hashlib.blake2b(data[i:i + self.k], digest_size=8).digest(), "big"
-            )
+            h = hashlib.blake2b(data.tobytes(), digest_size=8).digest()
+            return [int.from_bytes(h, "big")]
+        win = np.lib.stride_tricks.sliding_window_view(data, self.k)
+        powers = self._B ** np.arange(self.k - 1, -1, -1, dtype=np.uint64)
+        hs = (win.astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        # avalanche so byte-local k-grams spread over the full 64-bit space
+        hs ^= hs >> np.uint64(33)
+        hs *= np.uint64(0xFF51AFD7ED558CCD)
+        hs ^= hs >> np.uint64(33)
         if len(hs) <= self.window:
             return [int(hs.min())]
-        mins = {
-            int(hs[i:i + self.window].min())
-            for i in range(len(hs) - self.window + 1)
-        }
-        return sorted(mins)[:64]
+        mins = np.lib.stride_tricks.sliding_window_view(
+            hs, self.window).min(axis=1)
+        return np.unique(mins)[:64].tolist()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         fps = [self.fingerprint(s) for s in t["text"].to_pylist()]
@@ -205,5 +217,6 @@ class Fingerprinter:
 
 def fingerprints(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Fingerprinter, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+        lambda t: _cached(Fingerprinter)(t), batch_format="pyarrow",
+        batch_size=1024,
     )
