@@ -87,6 +87,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(paths["pages"])
         return ds.map_batches(verify_text, batch_format="pyarrow")
 
+    _FACTS_DIR = "/tmp/edgar_ray_facts_v1"
+
+    def _facts_ds(sf):
+        """Crawled filings_facts, cached as ticker-partitioned Parquet via the
+        resumable sink (S7; recomputed only when absent)."""
+        import ray.data as rd
+
+        from edgar_ray.stages.sink import finished_partitions, write_partitioned
+
+        if not finished_partitions(_FACTS_DIR, "ticker"):
+            write_partitioned(crawl_facts(sf), _FACTS_DIR, "ticker")
+        return rd.read_parquet(_FACTS_DIR)
+
+    def filings_available(sf):
+        from edgar_ray.pipelines.filings import available_filings
+
+        return available_filings(_facts_ds(sf), "SYN0000", "10-K")
+
+    def filings_getters(sf):
+        from edgar_ray.pipelines.filings import get_facts
+
+        return get_facts(_facts_ds(sf),
+                         ["Revenue", "Net Income", "Total Assets",
+                          "Operating Cash Flow"])
+
+    def filings_collected(sf):
+        from edgar_ray.pipelines.filings import collected_counts
+
+        return collected_counts(_facts_ds(sf))
+
     return {
         # relational (SURVEY.md §2 operator mappings; all oracle-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -127,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_filings_facts": crawl_facts,
         "crawl_order": crawl_order,
         "crawl_text_parity": text_parity,
+        # Filing query API (/root/reference/edgar.go:18-94) over crawled facts
+        "filings_available": filings_available,
+        "filings_getters": filings_getters,
+        "filings_collected": filings_collected,
     }
 
 

@@ -93,6 +93,9 @@ def run_bench() -> dict:
         "filings_extracted": n_facts,
         "urls_per_sec": round(res.metrics["frontier_urls"] / crawl_sec, 2),
         "pages_parsed_per_sec": round(res.metrics["pages_fetched"] / crawl_sec, 2),
+        "dedup_hit_rate": round(res.metrics["dedup_hit_rate"], 4),
+        "politeness_violations": res.metrics["politeness_violations"],
+        "robots_blocked": res.metrics["robots_blocked"],
     }
 
     qs = entrymod.queries()

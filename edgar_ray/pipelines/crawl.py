@@ -42,6 +42,7 @@ from ..stages.extract import (
     parse_index_pages,
     parse_query_pages,
     seed_frontier,
+    url_host as extract_host,
 )
 from ..stages.merge import merge_facts
 from ..state.frontier import Frontier
@@ -127,6 +128,50 @@ def _fetch_wave(pages_source, admitted: pa.Table, join_threshold: int):
     )
 
 
+def parse_robots_txt(text: str, host: str) -> list[str]:
+    """Minimal robots.txt subset: ``Disallow:`` paths under ``User-agent: *``
+    become full-URL prefixes (the frontier matches candidates by prefix)."""
+    prefixes: list[str] = []
+    in_star = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            in_star = val == "*"
+        elif key == "disallow" and in_star and val:
+            prefixes.append(f"https://{host}{val}")
+    return prefixes
+
+
+def load_robots(pages_source, hosts: list[str]) -> dict[str, list[str]]:
+    """Fetch + parse each host's /robots.txt from the pages table (stands in
+    for the out-of-band robots fetch of a live crawler; one tiny filtered
+    pass, cached on the driver for the whole run)."""
+    targets = {f"https://{h}/robots.txt": h for h in hosts}
+    t_ref = ray.put(set(targets))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        want = ray.get(t_ref) if isinstance(t_ref, ray.ObjectRef) else t_ref
+        mask = pa.array([u in want for u in batch["url"].to_pylist()])
+        return batch.filter(mask).select(["url", "html"])
+
+    found = _collect_table(
+        pages_source().map_batches(keep, batch_format="pyarrow"))
+    rules: dict[str, list[str]] = {}
+    if found is not None:
+        for row in found.to_pylist():
+            host = targets[row["url"]]
+            body = row["html"]
+            body = body.decode() if isinstance(body, bytes) else body
+            prefixes = parse_robots_txt(body, host)
+            if prefixes:
+                rules[host] = prefixes
+    return rules
+
+
 def _collect_table(ds) -> pa.Table:
     """Materialize a (frontier-metadata-sized) Dataset to one Arrow table."""
     refs = ds.to_arrow_refs()
@@ -153,6 +198,7 @@ def crawl(
     join_threshold: int = 200_000,
     merge_partitions: int | None = 32,
     stop_after_wave: int | None = None,
+    respect_robots: bool = True,
 ) -> CrawlResult:
     """Run the 3-wave crawl over a pages table. Returns the merged
     filings_facts Dataset (lazy) plus crawl order / lineage tables."""
@@ -162,8 +208,13 @@ def crawl(
         cols = ["url", "html"]
         pages_ds_factory = lambda: rd.read_parquet(pages_path, columns=cols)  # noqa: E731
 
+    robots_rules = {}
+    if respect_robots:
+        hosts = sorted({extract_host(u) for u in
+                        seed_frontier(seed_tickers, filing_types)["url"].to_pylist()})
+        robots_rules = load_robots(pages_ds_factory, hosts)
     frontier = Frontier(num_shards=num_shards, capacity=capacity,
-                        host_budget=host_budget)
+                        host_budget=host_budget, robots_rules=robots_rules)
     manifest_path = os.path.join(checkpoint_dir, "MANIFEST.json") if checkpoint_dir else None
     completed: dict[str, Any] = {"waves": []}
     start_wave = 0
@@ -192,6 +243,8 @@ def crawl(
         if candidates is None or candidates.num_rows == 0:
             break
         admitted = frontier.admit_wave(candidates, wave)
+        if admitted.num_rows == 0:
+            break
         admitted_tables.append(admitted)
         fetched = _fetch_wave(pages_ds_factory, admitted, join_threshold)
         if wave < 2:
@@ -227,10 +280,18 @@ def crawl(
     )
     lineage = frontier.lineage_table()
     elapsed = time.monotonic() - t0
+    lrows = lineage.to_pylist() if lineage.num_rows else []
+    urls_in = sum(r.get("urls_in") or 0 for r in lrows)
+    dedup_hits = sum(r.get("dedup_hits") or 0 for r in lrows)
     metrics = {
         "frontier_urls": int(crawl_order.num_rows),
         "pages_fetched": pages_fetched,
         "elapsed_sec": elapsed,
         "urls_per_sec": crawl_order.num_rows / elapsed if elapsed > 0 else 0.0,
+        "dedup_hits": dedup_hits,
+        "dedup_hit_rate": dedup_hits / urls_in if urls_in else 0.0,
+        "politeness_violations": sum(r.get("politeness_violations") or 0 for r in lrows),
+        "politeness_deferred": sum(r.get("politeness_deferred") or 0 for r in lrows),
+        "robots_blocked": sum(r.get("robots_blocked") or 0 for r in lrows),
     }
     return CrawlResult(facts_ds, crawl_order, lineage, metrics)

@@ -580,6 +580,28 @@ def make_universe(n_tickers: int, filings_per_type: int = 4, seed: int = 42
     return specs
 
 
+# robots.txt scenario: every ticker with seed_rank % 8 == 2 has its
+# /Archives/edgar/data/<cik>/ directory disallowed — its query+index pages
+# crawl normally but every R-report fetch is robots-blocked, so the filing
+# yields no facts (goldens below are robots-aware)
+ROBOTS_BLOCK_MOD = 8
+ROBOTS_BLOCK_REM = 2
+
+
+def robots_blocked_rank(seed_rank: int) -> bool:
+    return seed_rank % ROBOTS_BLOCK_MOD == ROBOTS_BLOCK_REM
+
+
+def render_robots_txt(specs) -> str:
+    """Minimal robots.txt: one User-agent: * group with per-cik Disallows."""
+    blocked_ciks = sorted({fs.cik_int for fs in specs
+                           if robots_blocked_rank(fs.seed_rank)})
+    lines = ["User-agent: *"]
+    lines += [f"Disallow: /Archives/edgar/data/{cik}/" for cik in blocked_ciks]
+    lines.append("")
+    return "\n".join(lines)
+
+
 def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42
                ) -> dict[str, pa.Table]:
     """Build the full synthetic corpus: pages + golden tables."""
@@ -613,9 +635,14 @@ def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42
             pages.append((url, render_report_page(d)))
             # Ignore-classified docs (Parenthetical) exist in the pages table
             # but are never mapped, hence never crawled
-            # (/root/reference/reportmap.go:139-142).
-            if d.doc_type in DOC_MERGE_PRIORITY:
+            # (/root/reference/reportmap.go:139-142); robots-blocked tickers'
+            # R pages exist on the "web" but never enter the crawl order.
+            if d.doc_type in DOC_MERGE_PRIORITY and not robots_blocked_rank(fs.seed_rank):
                 crawl.append((url, 2, fs.seed_rank, fs.filing_type, fs.filed_date, d.report_num))
+
+    # the host's robots.txt is a page too (fetched out-of-band by the crawler,
+    # never part of the frontier order)
+    pages.append((f"{BASE_URL}/robots.txt", render_robots_txt(specs)))
 
     # pages table (shuffled deterministically so readers can't rely on order)
     rng = np.random.default_rng(seed)
@@ -664,7 +691,8 @@ def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42
         }
     )
 
-    golden_rows = [golden_facts(fs) for fs in specs]
+    golden_rows = [golden_facts(fs) for fs in specs
+                   if not robots_blocked_rank(fs.seed_rank)]
     golden_tbl = pa.Table.from_pylist(golden_rows)
 
     seeds_tbl = pa.table(

@@ -110,6 +110,7 @@ class FrontierShard:
                 "dedup_hits": tbl.num_rows - admitted.num_rows,
                 "politeness_violations": 0,  # enforced by construction
                 "politeness_deferred": 0,  # accounted on the scheduler row
+                "robots_blocked": 0,  # accounted on the scheduler row
             }
         )
         return admitted
@@ -140,7 +141,8 @@ class Frontier:
     """
 
     def __init__(self, num_shards: int = 4, capacity: int = 1 << 16,
-                 host_budget: float = 100.0):
+                 host_budget: float = 100.0,
+                 robots_rules: dict[str, list[str]] | None = None):
         self.num_shards = num_shards
         self.shards = [
             FrontierShard.remote(i, max(1024, capacity // num_shards))
@@ -148,11 +150,38 @@ class Frontier:
         ]
         self.host_budget = float(host_budget)
         self.host_next_slot: dict[str, float] = {}  # host -> next free offset
+        # robots cache: host -> list of disallowed full-URL prefixes
+        # (re-fetched by the crawl each run; not checkpointed state)
+        self.robots_rules = robots_rules or {}
         self.driver_lineage: list[dict] = []  # scheduler rows (shard = -1)
         self.next_seq = 0
 
+    def _robots_filter(self, tbl: pa.Table) -> tuple[pa.Table, int]:
+        """Drop candidates a host's robots.txt disallows. Few prefixes per
+        host -> one vectorized startswith pass per prefix; a host with a huge
+        rule set would swap this for a sorted-prefix binary search, still
+        host-local."""
+        if not self.robots_rules:
+            return tbl, 0
+        urls = np.asarray(tbl["url"].to_pylist(), dtype=str)
+        hosts = np.asarray(tbl["host"].to_pylist(), dtype=object)
+        blocked = np.zeros(len(urls), dtype=bool)
+        for host, prefixes in self.robots_rules.items():
+            on_host = hosts == host
+            if not on_host.any():
+                continue
+            for p in prefixes:
+                blocked |= on_host & np.char.startswith(urls, p)
+        if not blocked.any():
+            return tbl, 0
+        return tbl.filter(pa.array(~blocked)), int(blocked.sum())
+
     def admit_wave(self, tbl: pa.Table, wave: int) -> pa.Table:
         if tbl.num_rows == 0:
+            return tbl
+        tbl, robots_blocked = self._robots_filter(tbl)
+        if tbl.num_rows == 0:
+            self._scheduler_lineage(wave, 0, robots_blocked)
             return tbl
         tbl = _ensure_keys(tbl)
         hashes = tbl["url_canon_hash"].to_numpy().astype(np.uint64, copy=False)
@@ -183,6 +212,18 @@ class Frontier:
             deferred += int((slots - start >= 1.0).sum())
             self.host_next_slot[h] = float(start + step * len(idx))
         merged = merged.append_column("scheduled_at", pa.array(sched, pa.float64()))
+        self._scheduler_lineage(wave, deferred, robots_blocked)
+
+        seq = pa.array(
+            np.arange(self.next_seq, self.next_seq + merged.num_rows, dtype=np.int64)
+        )
+        self.next_seq += merged.num_rows
+        merged = merged.append_column("seq", seq)
+        wave_col = pa.array(np.full(merged.num_rows, wave, dtype=np.int32))
+        return merged.append_column("wave", wave_col)
+
+    def _scheduler_lineage(self, wave: int, deferred: int,
+                           robots_blocked: int) -> None:
         self.driver_lineage.append(
             {
                 "shard": -1,  # the host-global scheduler partition
@@ -192,16 +233,9 @@ class Frontier:
                 "dedup_hits": 0,
                 "politeness_violations": 0,
                 "politeness_deferred": deferred,
+                "robots_blocked": robots_blocked,
             }
         )
-
-        seq = pa.array(
-            np.arange(self.next_seq, self.next_seq + merged.num_rows, dtype=np.int64)
-        )
-        self.next_seq += merged.num_rows
-        merged = merged.append_column("seq", seq)
-        wave_col = pa.array(np.full(merged.num_rows, wave, dtype=np.int32))
-        return merged.append_column("wave", wave_col)
 
     def lineage_table(self) -> pa.Table:
         rows: list[dict] = list(self.driver_lineage)

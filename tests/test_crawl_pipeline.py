@@ -52,6 +52,32 @@ def test_dedup_hits(result):
     assert all(r["politeness_violations"] == 0 for r in result.lineage.to_pylist())
 
 
+def test_robots_blocked(result):
+    # seed_rank 2 is robots-disallowed at the /Archives/edgar/data/<cik>/
+    # level: its R-report candidates are blocked at admission (counted in the
+    # scheduler lineage), its facts never materialize, and no blocked URL
+    # appears in the crawl order
+    blocked = sum(r["robots_blocked"] for r in result.lineage.to_pylist())
+    assert blocked > 0
+    facts = result.filings_facts.to_pandas()
+    tickers = set(facts["ticker"])
+    assert "SYN0002" not in tickers and {"SYN0000", "SYN0001"} <= tickers
+    from edgar_ray.sources.synth import make_universe, robots_blocked_rank
+    blocked_r_candidates = sum(
+        sum(1 for d in fs.docs if d.doc_type != "Ignore")
+        for fs in make_universe(N_TICKERS, N_FILINGS)
+        if robots_blocked_rank(fs.seed_rank)
+    )
+    assert blocked == blocked_r_candidates
+    blocked_ciks = {fs.cik_int for fs in make_universe(N_TICKERS, N_FILINGS)
+                    if robots_blocked_rank(fs.seed_rank)}
+    assert blocked_ciks
+    order_urls = result.crawl_order["url"].to_pylist()
+    for cik in blocked_ciks:
+        prefix = f"https://www.sec.gov/Archives/edgar/data/{cik}/"
+        assert not any(u.startswith(prefix) for u in order_urls)
+
+
 def test_politeness_spacing(result):
     # per host, scheduled_at strictly increases by >= 1/budget
     order = result.crawl_order.sort_by([("seq", "ascending")])

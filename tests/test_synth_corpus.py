@@ -64,9 +64,15 @@ def test_corpus_tables():
     t = gen_corpus(4, 2)
     pages, golden, crawl = t["pages"], t["filings_golden"], t["crawl_order_golden"]
     assert pc.count_distinct(pages["url"]).as_py() == pages.num_rows
-    assert golden.num_rows == 4 * 2 * 2  # tickers x types x filings
-    # pages include one never-crawled Parenthetical R-doc per filing
-    assert crawl.num_rows == pages.num_rows - golden.num_rows
+    # seed_rank 2 is robots-blocked (ROBOTS_BLOCK_MOD/REM): its filings never
+    # yield facts, so golden covers 3 of 4 tickers
+    assert golden.num_rows == 3 * 2 * 2  # unblocked tickers x types x filings
+    # pages = crawl order + one never-crawled Parenthetical per filing (4x2x2)
+    # + the robots-blocked ticker's R pages + robots.txt itself
+    n_blocked_r = sum(1 for u in pages["url"].to_pylist()
+                      if "/Archives/edgar/data/" in u
+                      and u not in set(crawl["url"].to_pylist()))
+    assert crawl.num_rows == pages.num_rows - n_blocked_r - 1  # -1: robots.txt
     # crawl order is wave-monotone
     waves = crawl["wave"].to_pylist()
     assert waves == sorted(waves)
