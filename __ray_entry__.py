@@ -117,6 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return collected_counts(_facts_ds(sf))
 
+    def filings_folder_json(sf):
+        from edgar_ray.stages.folder_json import folders_dataset
+
+        return folders_dataset(_facts_ds(sf))
+
     return {
         # relational (SURVEY.md §2 operator mappings; all oracle-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,

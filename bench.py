@@ -25,7 +25,7 @@ BENCH_MODE = os.environ.get("GRAFT_BENCH_MODE", "full")  # "full" | "crawl"
 # bench corpus: scale the synthetic EDGAR universe with the sf tier
 _CORPUS_SIZES = {"sf0.001": (4, 3), "sf0.01": (12, 4), "sf0.1": (128, 8)}
 # the --scaling corpus is larger so parse compute dominates fixed overheads
-SCALING_CORPUS = os.environ.get("GRAFT_SCALING_CORPUS", "512x10")
+SCALING_CORPUS = os.environ.get("GRAFT_SCALING_CORPUS", "2048x10")
 
 
 def _bench_corpus() -> tuple[str, int, int]:
@@ -76,14 +76,18 @@ def run_bench() -> dict:
         pages_path, columns=["url", "html"], override_num_blocks=64
     ).materialize()
     pages_factory = lambda: pages_mat  # noqa: E731
-    # warm the Ray Data execution path (worker process startup)
+    # warm the Ray Data execution paths (worker process startup + the
+    # sort-shuffle code path the merge groupby uses)
     pages_mat.map_batches(lambda t: t.select(["url"]), batch_format="pyarrow").count()
+    rd.range(1000, override_num_blocks=4).groupby("id").count().count()
 
     queries: dict[str, float] = {}
 
     t0 = time.monotonic()
-    res = crawl(None, seeds, pages_ds_factory=pages_factory,
-                num_shards=4, capacity=1 << 20)
+    # pages_path is passed alongside the materialized factory so the robots
+    # fetch uses parquet predicate pushdown instead of a full block pass
+    res = crawl(pages_path, seeds, pages_ds_factory=pages_factory,
+                num_shards=8, capacity=1 << 22)
     n_facts = res.filings_facts.count()  # consume the lazy merge
     crawl_sec = time.monotonic() - t0
     queries["crawl_extract"] = round(crawl_sec, 3)

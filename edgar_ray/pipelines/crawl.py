@@ -103,15 +103,36 @@ def _empty_fetch(batch: pa.Table) -> pa.Table:
     return sub
 
 
-def _fetch_wave(pages_source, admitted: pa.Table, join_threshold: int):
+def _call_pages_source(pages_source, wave: int | None):
+    """Factories may accept the wave number (prune at the read: a class- or
+    depth-partitioned pages store only scans the relevant partition); no-arg
+    factories get called plain."""
+    import inspect
+
+    try:
+        takes_wave = len(inspect.signature(pages_source).parameters) >= 1
+    except (TypeError, ValueError):
+        takes_wave = False
+    return pages_source(wave) if takes_wave else pages_source()
+
+
+def _fetch_wave(pages_source, admitted: pa.Table, join_threshold: int,
+                wave: int | None = None):
     """pages ⋈ admitted urls -> Dataset of page rows + frontier metadata."""
     import numpy as np
 
     from ..state.cuckoo import hash_urls
 
-    pages_ds = pages_source()
+    pages_ds = _call_pages_source(pages_source, wave)
     if admitted.num_rows <= join_threshold:
-        keys = hash_urls(admitted["url"].to_pylist())
+        if "url_sha1" in admitted.column_names:
+            # reuse the sha1 digests computed in the parse stages: first 8
+            # big-endian bytes == hash_urls, no driver-side hashing loop
+            blob = b"".join(admitted["url_sha1"].to_pylist())
+            keys = (np.frombuffer(blob, np.uint8).reshape(-1, 20)[:, :8]
+                    .copy().view(">u8").astype(np.uint64).reshape(-1))
+        else:
+            keys = hash_urls(admitted["url"].to_pylist())
         order = np.argsort(keys)
         keys_ref = ray.put(keys[order])
         meta_ref = ray.put(
@@ -146,20 +167,30 @@ def parse_robots_txt(text: str, host: str) -> list[str]:
     return prefixes
 
 
-def load_robots(pages_source, hosts: list[str]) -> dict[str, list[str]]:
-    """Fetch + parse each host's /robots.txt from the pages table (stands in
-    for the out-of-band robots fetch of a live crawler; one tiny filtered
-    pass, cached on the driver for the whole run)."""
+def load_robots(pages_source, hosts: list[str],
+                pages_path: str | list[str] | None = None) -> dict[str, list[str]]:
+    """Fetch + parse each host's /robots.txt (stands in for the out-of-band
+    robots fetch of a live crawler; cached on the driver for the whole run).
+
+    With a parquet path available, reads via predicate pushdown (row-group
+    pruning on url stats — touches almost none of the table); otherwise one
+    tiny filtered pass over the pages source."""
     targets = {f"https://{h}/robots.txt": h for h in hosts}
-    t_ref = ray.put(set(targets))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        want = ray.get(t_ref) if isinstance(t_ref, ray.ObjectRef) else t_ref
-        mask = pa.array([u in want for u in batch["url"].to_pylist()])
-        return batch.filter(mask).select(["url", "html"])
+    if pages_path is not None:
+        found = pq.read_table(pages_path, columns=["url", "html"],
+                              filters=[("url", "in", sorted(targets))])
+    else:
+        t_ref = ray.put(set(targets))
 
-    found = _collect_table(
-        pages_source().map_batches(keep, batch_format="pyarrow"))
+        def keep(batch: pa.Table) -> pa.Table:
+            want = ray.get(t_ref) if isinstance(t_ref, ray.ObjectRef) else t_ref
+            mask = pa.array([u in want for u in batch["url"].to_pylist()])
+            return batch.filter(mask).select(["url", "html"])
+
+        found = _collect_table(
+            _call_pages_source(pages_source, None)
+            .map_batches(keep, batch_format="pyarrow"))
     rules: dict[str, list[str]] = {}
     if found is not None:
         for row in found.to_pylist():
@@ -208,13 +239,34 @@ def crawl(
         cols = ["url", "html"]
         pages_ds_factory = lambda: rd.read_parquet(pages_path, columns=cols)  # noqa: E731
 
-    robots_rules = {}
+    # shard actors start spinning up while robots.txt is fetched/parsed
+    frontier = Frontier(num_shards=num_shards, capacity=capacity,
+                        host_budget=host_budget)
+    robots_gate = None
     if respect_robots:
         hosts = sorted({extract_host(u) for u in
                         seed_frontier(seed_tickers, filing_types)["url"].to_pylist()})
-        robots_rules = load_robots(pages_ds_factory, hosts)
-    frontier = Frontier(num_shards=num_shards, capacity=capacity,
-                        host_budget=host_budget, robots_rules=robots_rules)
+        rules = load_robots(pages_ds_factory, hosts, pages_path=pages_path)
+        frontier.set_robots(rules)
+        if rules:
+            from ..state.frontier import _rules_by_len, robots_block_mask
+
+            rules_ref = ray.put(_rules_by_len(rules))
+
+            def robots_gate(batch: pa.Table) -> pa.Table:
+                """Distributed robots gate: candidates get a robots_ok column
+                inside the parse map stage (vectorized prefix match in the
+                workers), so admission never does O(candidates) string work
+                on the driver."""
+                import numpy as np
+
+                r = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) \
+                    else rules_ref
+                if batch.num_rows == 0:
+                    return batch.append_column("robots_ok", pa.array([], pa.bool_()))
+                urls = np.asarray(batch["url"].to_pylist(), dtype=str)
+                ok = ~robots_block_mask(urls, r)
+                return batch.append_column("robots_ok", pa.array(ok))
     manifest_path = os.path.join(checkpoint_dir, "MANIFEST.json") if checkpoint_dir else None
     completed: dict[str, Any] = {"waves": []}
     start_wave = 0
@@ -246,12 +298,23 @@ def crawl(
         if admitted.num_rows == 0:
             break
         admitted_tables.append(admitted)
-        fetched = _fetch_wave(pages_ds_factory, admitted, join_threshold)
+        fetched = _fetch_wave(pages_ds_factory, admitted, join_threshold,
+                              wave=wave)
         if wave < 2:
             parsed = fetched.map_batches(_WAVE_PARSERS[wave], batch_format="pyarrow")
+            if robots_gate is not None:
+                parsed = parsed.map_batches(robots_gate, batch_format="pyarrow")
             candidates = _collect_table(parsed)
         else:
             facts_raw = fetched.map_batches(extract_facts, batch_format="pyarrow")
+            # Materialize the PARSED facts (one ~100-byte row per page — the
+            # heavily-reduced derivative, NOT the page bytes) before the merge
+            # shuffle: it decouples the map phase from the two all-to-all ops
+            # (repartition + groupby sort), which otherwise share one
+            # streaming plan and thrash its resource reservations at low
+            # parallelism (5x wall time at 8 cpus), and it is the natural
+            # wave-2 checkpoint boundary.
+            facts_raw = facts_raw.materialize()
             # coalesce the many small filtered blocks before the merge shuffle
             # (fewer shuffle tasks; row-preserving — at production block sizes
             # this is a no-op and can be disabled with merge_partitions=None)

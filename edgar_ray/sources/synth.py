@@ -560,10 +560,14 @@ def golden_facts(fs: FilingSpec) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def make_universe(n_tickers: int, filings_per_type: int = 4, seed: int = 42
+def make_universe(n_tickers: int, filings_per_type: int = 4, seed: int = 42,
+                  ticker_range: tuple[int, int] | None = None
                   ) -> list[FilingSpec]:
+    """Specs for tickers [lo, hi) (default all). Per-ticker generation is
+    independent (seeded by (seed, ticker, ...)), so ranges compose exactly."""
+    lo, hi = ticker_range if ticker_range is not None else (0, n_tickers)
     specs: list[FilingSpec] = []
-    for i in range(n_tickers):
+    for i in range(lo, hi):
         ticker = f"SYN{i:04d}"
         cik = f"{1000000 + i * 9973:010d}"
         for ft in ("10-K", "10-Q"):
@@ -602,16 +606,22 @@ def render_robots_txt(specs) -> str:
     return "\n".join(lines)
 
 
-def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42
-               ) -> dict[str, pa.Table]:
-    """Build the full synthetic corpus: pages + golden tables."""
-    specs = make_universe(n_tickers, filings_per_type, seed)
+def gen_ticker_chunk(n_tickers: int, filings_per_type: int, seed: int,
+                     lo: int, hi: int) -> dict:
+    """Everything for tickers [lo, hi): pages per wave (with extracted text),
+    crawl entries per wave, golden fact rows. Chunks concatenate in rank
+    order to EXACTLY the serial corpus (per-ticker generation is
+    independently seeded), which is what makes write_corpus parallelizable."""
+    specs = make_universe(n_tickers, filings_per_type, seed,
+                          ticker_range=(lo, hi))
     by_key: dict[tuple[str, str], list[FilingSpec]] = {}
     for fs in specs:
         by_key.setdefault((fs.ticker, fs.filing_type), []).append(fs)
 
-    pages: list[tuple[str, str]] = []  # (url, html)
-    crawl: list[tuple[str, int, int, str, str, int]] = []  # url, wave, seed_rank, ft, date, rnum
+    w0: list[tuple[str, str]] = []
+    w1: list[tuple[str, str]] = []
+    w2: list[tuple[str, str]] = []
+    crawl: list[tuple[str, int, int, str, str, int]] = []
 
     # wave 0: query pages, (seed_rank, filing_type) order
     for (ticker, ft), filings in sorted(
@@ -622,27 +632,68 @@ def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42
             f"{BASE_URL}/cgi-bin/browse-edgar?action=getcompany&CIK={ticker}"
             f"&type={ft}&dateb=&owner=include&count=10&action=getcompany"
         )
-        pages.append((url, render_query_page(ticker, ft, filings_sorted, seed)))
+        html0 = render_query_page(ticker, ft, filings_sorted, seed)
+        w0.append((url, html0, extracted_text(url, html0)))
         crawl.append((url, 0, filings[0].seed_rank, ft, "", 0))
 
     # waves 1-2: index + report pages, (seed_rank, ft, filed_date desc, rnum)
-    for fs in sorted(specs, key=lambda f: (f.seed_rank, f.filing_type, _desc(f.filed_date))):
-        pages.append((fs.index_url(), render_index_page(fs)))
-        crawl.append((fs.index_url(), 1, fs.seed_rank, fs.filing_type, fs.filed_date, 0))
-    for fs in sorted(specs, key=lambda f: (f.seed_rank, f.filing_type, _desc(f.filed_date))):
+    ordered = sorted(specs, key=lambda f: (f.seed_rank, f.filing_type,
+                                           _desc(f.filed_date)))
+    for fs in ordered:
+        html1 = render_index_page(fs)
+        w1.append((fs.index_url(), html1, extracted_text(fs.index_url(), html1)))
+        crawl.append((fs.index_url(), 1, fs.seed_rank, fs.filing_type,
+                      fs.filed_date, 0))
+    for fs in ordered:
         for d in fs.docs:
             url = fs.report_url(d.report_num)
-            pages.append((url, render_report_page(d)))
+            html2 = render_report_page(d)
+            w2.append((url, html2, extracted_text(url, html2)))
             # Ignore-classified docs (Parenthetical) exist in the pages table
             # but are never mapped, hence never crawled
             # (/root/reference/reportmap.go:139-142); robots-blocked tickers'
             # R pages exist on the "web" but never enter the crawl order.
             if d.doc_type in DOC_MERGE_PRIORITY and not robots_blocked_rank(fs.seed_rank):
-                crawl.append((url, 2, fs.seed_rank, fs.filing_type, fs.filed_date, d.report_num))
+                crawl.append((url, 2, fs.seed_rank, fs.filing_type,
+                              fs.filed_date, d.report_num))
+
+    golden_rows = [golden_facts(fs) for fs in specs
+                   if not robots_blocked_rank(fs.seed_rank)]
+    return {"w0": w0, "w1": w1, "w2": w2, "crawl": crawl,
+            "golden": golden_rows}
+
+
+def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42,
+               chunks: list[dict] | None = None) -> dict[str, pa.Table]:
+    """Build the full synthetic corpus: pages + golden tables. ``chunks``
+    (rank-ordered gen_ticker_chunk results) assemble byte-identically to the
+    serial path."""
+    if chunks is None:
+        chunks = [gen_ticker_chunk(n_tickers, filings_per_type, seed,
+                                   0, n_tickers)]
+
+    pages: list[tuple[str, str]] = []
+    crawl: list[tuple[str, int, int, str, str, int]] = []
+    golden_rows: list[dict] = []
+    for wave_key in ("w0", "w1", "w2"):
+        for ch in chunks:
+            pages.extend(ch[wave_key])
+    for wave in (0, 1, 2):
+        for ch in chunks:
+            crawl.extend(e for e in ch["crawl"] if e[1] == wave)
+    for ch in chunks:
+        golden_rows.extend(ch["golden"])
 
     # the host's robots.txt is a page too (fetched out-of-band by the crawler,
-    # never part of the frontier order)
-    pages.append((f"{BASE_URL}/robots.txt", render_robots_txt(specs)))
+    # never part of the frontier order); blocked ciks derive from the rank
+    # formula, no specs needed
+    blocked_ciks = sorted(1000000 + i * 9973 for i in range(n_tickers)
+                          if robots_blocked_rank(i))
+    robots_lines = ["User-agent: *"] + [
+        f"Disallow: /Archives/edgar/data/{cik}/" for cik in blocked_ciks] + [""]
+    robots_url = f"{BASE_URL}/robots.txt"
+    robots_html = "\n".join(robots_lines)
+    pages.append((robots_url, robots_html, extracted_text(robots_url, robots_html)))
 
     # pages table (shuffled deterministically so readers can't rely on order)
     rng = np.random.default_rng(seed)
@@ -650,10 +701,10 @@ def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42
     base_ts = np.datetime64("2020-01-01T00:00:00", "us")
     urls, htmls, texts, tss = [], [], [], []
     for pos, idx in enumerate(order):
-        url, html = pages[idx]
+        url, html, text = pages[idx]
         urls.append(url)
         htmls.append(html.encode())
-        texts.append(extracted_text(url, html))
+        texts.append(text)
         tss.append(base_ts + np.timedelta64(pos, "s"))
     pages_tbl = pa.table(
         {
@@ -691,8 +742,6 @@ def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42
         }
     )
 
-    golden_rows = [golden_facts(fs) for fs in specs
-                   if not robots_blocked_rank(fs.seed_rank)]
     golden_tbl = pa.Table.from_pylist(golden_rows)
 
     seeds_tbl = pa.table(
@@ -717,9 +766,24 @@ def _desc(date: str) -> str:
 
 
 def write_corpus(out_dir: str, n_tickers: int = 8, filings_per_type: int = 4,
-                 seed: int = 42) -> dict[str, str]:
+                 seed: int = 42, parallelism: int | None = None) -> dict[str, str]:
+    """Write the corpus. With Ray initialized and a large ticker universe the
+    per-ticker-range chunks generate as parallel Ray tasks (byte-identical to
+    the serial path; asserted in tests)."""
+    import ray
+
     os.makedirs(out_dir, exist_ok=True)
-    tables = gen_corpus(n_tickers, filings_per_type, seed)
+    if parallelism is None:
+        parallelism = 28 if (n_tickers >= 64 and ray.is_initialized()) else 1
+    if parallelism > 1:
+        gen_chunk = ray.remote(gen_ticker_chunk)
+        bounds = np.linspace(0, n_tickers, parallelism + 1).astype(int)
+        futs = [gen_chunk.remote(n_tickers, filings_per_type, seed, int(lo), int(hi))
+                for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+        tables = gen_corpus(n_tickers, filings_per_type, seed,
+                            chunks=ray.get(futs))
+    else:
+        tables = gen_corpus(n_tickers, filings_per_type, seed)
     paths = {}
     for name, tbl in tables.items():
         path = os.path.join(out_dir, f"{name}.parquet")

@@ -101,38 +101,70 @@ class CuckooFilter:
     def add_many(self, hashes: np.ndarray) -> np.ndarray:
         """Insert key hashes; returns bool array: True where the key was NEW
         (i.e. not already present). Duplicate keys within the batch are
-        detected too (second occurrence reports False).
+        detected too (second occurrence reports False — first occurrence
+        wins, preserving the caller's priority order).
 
-        Fast path: pre-vectorized membership + plain-int slot probing; the
-        eviction loop only runs when both buckets are full."""
+        FULLY VECTORIZED fast path: membership probe, in-batch hash dedup
+        (np.unique keeps first occurrence), then bucket-grouped slot
+        assignment — keys destined for the same bucket get distinct ranks
+        (lexsort + reduceat) and claim the rank-th empty slot, one fancy-
+        indexed write per slot pass. Only keys whose both buckets are full
+        fall to the sequential eviction loop (rare below ~95%% load)."""
         h = hashes.astype(np.uint64, copy=False)
-        fp_arr = _fingerprints(h)
-        b1_arr = (h & self._mask).astype(np.uint64)
-        b2_arr = _alt_bucket(b1_arr, fp_arr, self._mask)
+        n = len(h)
+        fresh = np.zeros(n, dtype=bool)
+        if n == 0:
+            return fresh
         present = self.contains_many(h)
-        fresh = np.zeros(len(h), dtype=bool)
+        uniq_first = np.zeros(n, dtype=bool)
+        uniq_first[np.unique(h, return_index=True)[1]] = True
+        todo = np.nonzero(~present & uniq_first)[0]
+        if len(todo) == 0:
+            return fresh
+        fp_t = _fingerprints(h[todo])
+        b1_t = (h[todo] & self._mask).astype(np.int64)
+        b2_t = _alt_bucket(b1_t.astype(np.uint64), fp_t, self._mask).astype(np.int64)
+
         t = self.table
-        for i in range(len(h)):
-            if present[i]:
+        placed = np.zeros(len(todo), dtype=bool)
+        dup = np.zeros(len(todo), dtype=bool)
+        for buckets in (b1_t, b2_t):
+            rem = np.nonzero(~placed & ~dup)[0]
+            if not len(rem):
+                break
+            bb = buckets[rem]
+            ff = fp_t[rem]
+            order = np.lexsort((ff, bb))
+            bo, fo = bb[order], ff[order]
+            # same (bucket, fp) within the batch: later copies are duplicates
+            same = np.r_[False, (bo[1:] == bo[:-1]) & (fo[1:] == fo[:-1])]
+            dup[rem[order[same]]] = True
+            keep = ~same
+            bo, fo, oo = bo[keep], fo[keep], order[keep]
+            # already-inserted fp in this bucket (placed by an earlier pass)
+            in_bucket = (t[bo] == fo[:, None]).any(axis=1)
+            dup[rem[oo[in_bucket]]] = True
+            live = ~in_bucket
+            bo, fo, oo = bo[live], fo[live], oo[live]
+            if not len(bo):
                 continue
-            fp = int(fp_arr[i])
-            b1, b2 = int(b1_arr[i]), int(b2_arr[i])
-            # in-batch duplicate re-check (cheap: two 4-slot rows)
-            row1, row2 = t[b1], t[b2]
-            if fp in row1 or fp in row2:
-                continue
-            placed = False
-            for row in (row1, row2):
-                for s in range(_SLOTS):
-                    if row[s] == _EMPTY:
-                        row[s] = fp
-                        self.count += 1
-                        placed = fresh[i] = True
-                        break
-                if placed:
-                    break
-            if not placed:
-                fresh[i] = self._insert_one(b1, fp)
+            # rank within bucket group -> claim the rank-th empty slot
+            new_grp = np.r_[True, bo[1:] != bo[:-1]]
+            starts = np.nonzero(new_grp)[0]
+            rank = np.arange(len(bo)) - starts[np.cumsum(new_grp) - 1]
+            empty = t[bo] == _EMPTY
+            cum = np.cumsum(empty, axis=1)
+            can = empty & (cum - 1 == rank[:, None])
+            slot = np.argmax(can, axis=1)
+            ok = can.any(axis=1)
+            t[bo[ok], slot[ok]] = fo[ok]
+            self.count += int(ok.sum())
+            placed[rem[oo[ok]]] = True
+
+        fresh_t = placed.copy()
+        for i in np.nonzero(~placed & ~dup)[0]:
+            fresh_t[i] = self._insert_one(int(b1_t[i]), int(fp_t[i]))
+        fresh[todo] = fresh_t
         return fresh
 
     # -- checkpoint -----------------------------------------------------------

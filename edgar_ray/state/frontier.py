@@ -81,6 +81,27 @@ def _ensure_keys(tbl: pa.Table) -> pa.Table:
     return tbl.append_column("url_canon_hash", pa.array(ch, pa.uint64()))
 
 
+def robots_block_mask(urls: np.ndarray, rules_by_len: dict[int, np.ndarray]
+                      ) -> np.ndarray:
+    """Exact vectorized robots prefix match, independent of rule count:
+    prefixes grouped by LENGTH; urls truncate to each length (numpy U-dtype
+    astype truncates) and set-match with np.isin — a handful of passes even
+    for thousands of rules, nested prefixes handled exactly."""
+    blocked = np.zeros(len(urls), dtype=bool)
+    for length, pre in sorted(rules_by_len.items()):
+        blocked |= np.isin(urls.astype(f"U{length}"), pre)
+    return blocked
+
+
+def _rules_by_len(robots_rules: dict[str, list[str]]) -> dict[int, np.ndarray]:
+    by_len: dict[int, list[str]] = {}
+    for prefixes in robots_rules.values():
+        for p in prefixes:
+            by_len.setdefault(len(p), []).append(p)
+    return {ln: np.unique(np.asarray(ps, dtype=str))
+            for ln, ps in by_len.items()}
+
+
 @ray.remote
 class FrontierShard:
     """One dedup shard: the cuckoo seen-set slice for its url-hash range."""
@@ -90,30 +111,27 @@ class FrontierShard:
         self.filter = CuckooFilter(capacity)
         self.lineage: list[dict] = []
 
-    def admit(self, tbl: pa.Table, wave: int) -> pa.Table:
-        """Dedup one wave's candidate slice. Returns the fresh rows.
-
-        The slice is priority-sorted BEFORE dedup so when one URL arrives
-        under two priority keys (e.g. a duplicate query-page listing with an
-        older date) the highest-priority copy deterministically survives —
-        exact because all copies of a canonical URL hash to this shard."""
-        tbl = _priority_sort(tbl)
-        h = tbl["url_canon_hash"].to_numpy().astype(np.uint64, copy=False)
+    def add_keys(self, h: np.ndarray, wave: int) -> np.ndarray:
+        """Dedup one wave's key slice (uint64 canonical-url hashes, already
+        in GLOBAL priority order — the driver sorts once and stable routing
+        preserves per-shard order, so the highest-priority copy of a
+        duplicate URL deterministically wins). Only 8 bytes/url cross the
+        wire each way; the fresh-mask reply is 1 byte/url."""
         fresh = self.filter.add_many(h) if len(h) else np.zeros(0, bool)
-        admitted = tbl.filter(pa.array(fresh)) if len(fresh) else tbl
+        n_fresh = int(fresh.sum())
         self.lineage.append(
             {
                 "shard": self.shard_id,
                 "wave": wave,
-                "urls_in": tbl.num_rows,
-                "admitted": admitted.num_rows,
-                "dedup_hits": tbl.num_rows - admitted.num_rows,
+                "urls_in": int(len(h)),
+                "admitted": n_fresh,
+                "dedup_hits": int(len(h)) - n_fresh,
                 "politeness_violations": 0,  # enforced by construction
                 "politeness_deferred": 0,  # accounted on the scheduler row
                 "robots_blocked": 0,  # accounted on the scheduler row
             }
         )
-        return admitted
+        return fresh
 
     def lineage_rows(self) -> list[dict]:
         return self.lineage
@@ -144,73 +162,97 @@ class Frontier:
                  host_budget: float = 100.0,
                  robots_rules: dict[str, list[str]] | None = None):
         self.num_shards = num_shards
+        # actors start spinning up immediately; robots rules can be attached
+        # later with set_robots so actor warmup overlaps the robots fetch
         self.shards = [
             FrontierShard.remote(i, max(1024, capacity // num_shards))
             for i in range(num_shards)
         ]
         self.host_budget = float(host_budget)
         self.host_next_slot: dict[str, float] = {}  # host -> next free offset
-        # robots cache: host -> list of disallowed full-URL prefixes
-        # (re-fetched by the crawl each run; not checkpointed state)
-        self.robots_rules = robots_rules or {}
         self.driver_lineage: list[dict] = []  # scheduler rows (shard = -1)
         self.next_seq = 0
+        self.rules_by_len: dict = {}
+        if robots_rules:
+            self.set_robots(robots_rules)
 
-    def _robots_filter(self, tbl: pa.Table) -> tuple[pa.Table, int]:
-        """Drop candidates a host's robots.txt disallows. Few prefixes per
-        host -> one vectorized startswith pass per prefix; a host with a huge
-        rule set would swap this for a sorted-prefix binary search, still
-        host-local."""
-        if not self.robots_rules:
-            return tbl, 0
-        urls = np.asarray(tbl["url"].to_pylist(), dtype=str)
-        hosts = np.asarray(tbl["host"].to_pylist(), dtype=object)
-        blocked = np.zeros(len(urls), dtype=bool)
-        for host, prefixes in self.robots_rules.items():
-            on_host = hosts == host
-            if not on_host.any():
-                continue
-            for p in prefixes:
-                blocked |= on_host & np.char.startswith(urls, p)
-        if not blocked.any():
-            return tbl, 0
-        return tbl.filter(pa.array(~blocked)), int(blocked.sum())
+    def set_robots(self, robots_rules: dict[str, list[str]]) -> None:
+        """Attach the (tiny) robots rule set — re-fetched by the crawl each
+        run, not checkpointed state. Used as the admission fallback for
+        driver-built candidate tables; bulk candidates are gated in the
+        distributed robots_gate map stage (pipelines/crawl.py)."""
+        self.rules_by_len = _rules_by_len(robots_rules or {})
 
     def admit_wave(self, tbl: pa.Table, wave: int) -> pa.Table:
         if tbl.num_rows == 0:
             return tbl
-        tbl, robots_blocked = self._robots_filter(tbl)
+        tbl = _ensure_keys(tbl)
+
+        # robots gate: candidates from the parse stages carry a robots_ok
+        # column (computed distributed, see crawl.robots_gate); small
+        # driver-built tables (wave-0 seeds) fall back to an inline check
+        robots_blocked = 0
+        if "robots_ok" in tbl.column_names:
+            ok = tbl["robots_ok"]
+            robots_blocked = tbl.num_rows - int(pa.compute.sum(ok).as_py() or 0)
+            if robots_blocked:
+                tbl = tbl.filter(ok)
+            tbl = tbl.drop_columns(["robots_ok"])
+        elif self.rules_by_len:
+            urls = np.asarray(tbl["url"].to_pylist(), dtype=str)
+            blocked = robots_block_mask(urls, self.rules_by_len)
+            robots_blocked = int(blocked.sum())
+            if robots_blocked:
+                tbl = tbl.filter(pa.array(~blocked))
         if tbl.num_rows == 0:
             self._scheduler_lineage(wave, 0, robots_blocked)
             return tbl
-        tbl = _ensure_keys(tbl)
+
+        # ONE global priority sort on frontier metadata; shards then see only
+        # uint64 key slices in that order and reply with fresh-masks
+        tbl = _priority_sort(tbl)
         hashes = tbl["url_canon_hash"].to_numpy().astype(np.uint64, copy=False)
-        shard_ids = hashes % np.uint64(self.num_shards)
-        futs = []
+        shard_ids = (hashes % np.uint64(self.num_shards)).astype(np.int64)
+        futs, slices = [], []
         for s in range(self.num_shards):
-            part = tbl.filter(pa.array(shard_ids == s))
-            if part.num_rows:
-                futs.append(self.shards[s].admit.remote(part, wave))
-        parts = [p for p in ray.get(futs) if p.num_rows]
-        if not parts:
+            idx = np.nonzero(shard_ids == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].add_keys.remote(hashes[idx], wave))
+                slices.append(idx)
+        fresh = np.zeros(tbl.num_rows, dtype=bool)
+        for idx, mask in zip(slices, ray.get(futs)):
+            fresh[idx] = mask
+        if not fresh.any():
+            self._scheduler_lineage(wave, 0, robots_blocked)
             return tbl.slice(0, 0)
-        merged = _priority_sort(pa.concat_tables(parts))
+        merged = tbl.filter(pa.array(fresh))  # already globally sorted
 
         # politeness: slot assignment in global priority order, host-global
         # (admissions never exceed the budget -> violations = 0 by
         # construction; `deferred` counts URLs pushed >= 1s past the host's
-        # wave-start slot). Vectorized per host: slots = start + step*arange.
-        hosts = np.asarray(merged["host"].to_pylist(), dtype=object)
-        sched = np.empty(len(hosts), dtype=np.float64)
-        deferred = 0
+        # wave-start slot). Fully vectorized: hosts dictionary-encode in C,
+        # per-host arrival ranks come from one stable argsort + reduceat.
+        n = merged.num_rows
+        enc = pa.compute.dictionary_encode(merged["host"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+            enc = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
+        host_names = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        starts_i = np.nonzero(np.r_[True, cs[1:] != cs[:-1]])[0]
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n) - starts_i[np.cumsum(
+            np.r_[True, cs[1:] != cs[:-1]]) - 1]
+        host_start = np.array(
+            [self.host_next_slot.get(h, 0.0) for h in host_names])
         step = 1.0 / self.host_budget
-        for h in np.unique(hosts) if len(hosts) else []:
-            idx = np.nonzero(hosts == h)[0]
-            start = self.host_next_slot.get(h, 0.0)
-            slots = start + step * np.arange(len(idx))
-            sched[idx] = slots
-            deferred += int((slots - start >= 1.0).sum())
-            self.host_next_slot[h] = float(start + step * len(idx))
+        sched = host_start[codes] + step * rank
+        deferred = int((step * rank >= 1.0).sum())
+        counts = np.bincount(codes, minlength=len(host_names))
+        for hi, h in enumerate(host_names):
+            self.host_next_slot[h] = float(host_start[hi] + step * counts[hi])
         merged = merged.append_column("scheduled_at", pa.array(sched, pa.float64()))
         self._scheduler_lineage(wave, deferred, robots_blocked)
 
