@@ -28,3 +28,19 @@ def canonicalize(url: str) -> str:
 
 def url_sha1(url: str) -> bytes:
     return hashlib.sha1(canonicalize(url).encode()).digest()
+
+
+def parse_cik_and_doc_id(url: str) -> tuple[str, str]:
+    """Viewer URL -> (cik, zero-padded 18-digit accession id) — the
+    reference's Sscanf parse (P12, /root/reference/parser.go:17-24): the
+    canonical identity key of a filing URL, used by the seen-set and
+    checkpoint partitioning. Returns ("", "") when the URL is not a viewer
+    link."""
+    from urllib.parse import parse_qs, urlsplit
+
+    q = parse_qs(urlsplit(url).query)
+    cik = q.get("cik", [""])[0]
+    acc = q.get("accession_number", [""])[0]
+    if not cik or not acc:
+        return "", ""
+    return cik, acc.replace("-", "").zfill(18)

@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) over the scalar kernels and state
+structures: number normalization round-trips Go-style renderings, URL
+canonicalization is idempotent, the cuckoo filter never false-negatives,
+and the bucketed group-head equals a pandas reference implementation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from edgar_ray.functions.parse import go_round, normalize_number
+from edgar_ray.state.canonical import canonicalize, parse_cik_and_doc_id
+from edgar_ray.state.cuckoo import CuckooFilter
+
+
+@given(st.integers(min_value=0, max_value=10**15),
+       st.integers(min_value=0, max_value=99),
+       st.booleans(), st.booleans(), st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_normalize_number_roundtrip(whole, cents, negative, dollar, commas):
+    """Go-style rendered currency strings parse back to their value
+    (/root/reference/utils.go:11-46 semantics)."""
+    val = whole + cents / 100.0
+    digits = f"{whole:,d}" if commas else str(whole)
+    s = f"{digits}.{cents:02d}"
+    if negative:
+        s = f"({s})"
+    if dollar:
+        # EDGAR renders the dollar sign OUTSIDE the negativity parens:
+        # "$ (1,234.50)" — "$" inside parens errors in the reference too
+        s = "$ " + s
+    got = normalize_number(s)
+    assert abs(got - (-val if negative else val)) < 1e-6 * max(1.0, val)
+
+
+@given(st.text(alphabet="0123456789,.$() _", max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_normalize_number_never_crashes_unexpectedly(s):
+    """Any garbage either parses to a float or raises ValueError — never
+    another exception type (the reference returns (0, err))."""
+    try:
+        v = normalize_number(s)
+        assert isinstance(v, float)
+    except ValueError:
+        pass
+
+
+@given(st.floats(min_value=-1e12, max_value=1e12,
+                 allow_nan=False, allow_infinity=False))
+@settings(max_examples=200, deadline=None)
+def test_go_round_truncates(x):
+    """go_round is floor-truncation to 2 decimals, never rounds up
+    (/root/reference/utils.go:165-167)."""
+    r = go_round(x)
+    assert r <= x + 1e-9
+    assert x - r < 0.01 + 1e-9
+
+
+_URL = st.builds(
+    lambda host, path, q, frag: f"https://{host}/{path}" + (f"?{q}" if q else "") + (f"#{frag}" if frag else ""),
+    st.sampled_from(["www.sec.gov", "WWW.SEC.GOV", "example.com:443"]),
+    st.text(alphabet="abcdefgh0123456789/", max_size=30),
+    st.text(alphabet="abc=&123", max_size=20),
+    st.text(alphabet="xyz", max_size=5),
+)
+
+
+@given(_URL)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(url):
+    c = canonicalize(url)
+    assert canonicalize(c) == c
+    assert "#" not in c  # fragments stripped
+
+
+def test_parse_cik_and_doc_id():
+    cik, acc = parse_cik_and_doc_id(
+        "https://www.sec.gov/cgi-bin/viewer?action=view&cik=320193"
+        "&accession_number=0001193125-15-356351&xbrl_type=v")
+    assert cik == "320193"
+    assert acc == "000119312515356351".zfill(18)
+    assert parse_cik_and_doc_id("https://www.sec.gov/") == ("", "")
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=0, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_cuckoo_no_false_negatives(keys):
+    """Everything inserted is contained; re-adding reports zero fresh."""
+    f = CuckooFilter(1 << 12)
+    h = np.array(keys, dtype=np.uint64)
+    f.add_many(h)
+    if len(h):
+        assert f.contains_many(h).all()
+        assert not f.add_many(h).any()
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 1000),
+                          st.integers(0, 1000)),
+                min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=50, deadline=None)
+def test_bucket_head_matches_pandas(rows, k):
+    """The vectorized in-bucket top-k (head_fn core) == pandas
+    groupby-sort-head on any input."""
+    from edgar_ray.stages.bucketing import _sort_key
+
+    t = pa.table({
+        "g": pa.array([r[0] for r in rows], pa.int64()),
+        "a": pa.array([r[1] for r in rows], pa.int64()),
+        "b": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    gkeys = [_sort_key(t["g"], False)]
+    skeys = [_sort_key(t["a"], True), _sort_key(t["b"], False)]
+    order = np.lexsort(tuple(reversed(gkeys + skeys)))
+    n = len(order)
+    neq = np.zeros(n, dtype=bool)
+    neq[0] = True
+    for gk in gkeys:
+        gs = gk[order]
+        neq[1:] |= gs[1:] != gs[:-1]
+    seg_id = np.cumsum(neq) - 1
+    starts = np.nonzero(neq)[0]
+    rank = np.arange(n) - starts[seg_id]
+    keep = np.sort(order[rank < k])
+    got = t.take(pa.array(keep, pa.int64())).to_pandas() \
+        .sort_values(["g", "a", "b"]).reset_index(drop=True)
+
+    want = (t.to_pandas()
+            .sort_values(["a", "b"], ascending=[False, True], kind="stable")
+            .groupby("g", sort=False).head(k)
+            .sort_values(["g", "a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
