@@ -57,8 +57,23 @@ def normalize_number(s: str) -> float:
 
 
 def go_round(val: float) -> float:
-    """floor(x*100)/100 — truncation, NOT half-up (/root/reference/utils.go:165-167)."""
+    """floor(x*100)/100 — truncation, NOT half-up (/root/reference/utils.go:165-167).
+    Go's math.Floor passes Inf/NaN through; Python's math.floor would raise."""
+    if not math.isfinite(val):
+        return val
     return math.floor(val * 100) / 100
+
+
+def go_div(a: float, b: float) -> float:
+    """IEEE-754 float division with Go semantics: x/0 = ±Inf, 0/0 = NaN —
+    never a trap (Go has no float division panic; the reference's Dps
+    generation can divide by an explicitly-zero WAShares,
+    /root/reference/data_def.go:105-111)."""
+    if b == 0.0:
+        if a == 0.0:
+            return math.nan
+        return math.inf if (a > 0) == (math.copysign(1.0, b) > 0) else -math.inf
+    return a / b
 
 
 def is_same_scale(one: float, two: float) -> bool:

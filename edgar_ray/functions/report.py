@@ -22,6 +22,7 @@ from ..schema import (
 from .parse import (
     filing_scale,
     fin_report_raw,
+    go_div,
     go_round,
     is_same_scale,
     normalize_number,
@@ -81,9 +82,9 @@ def generate_data(fr: dict, name: str) -> float:
     elif name == "Dps":
         if is_collected(fr, "cf", "Dividends"):
             if is_collected(fr, "ops", "WAShares"):
-                return go_round(fr["cf"]["Dividends"] * -1 / fr["ops"]["WAShares"])
+                return go_round(go_div(fr["cf"]["Dividends"] * -1, fr["ops"]["WAShares"]))
             if is_collected(fr, "entity", "ShareCount"):
-                return go_round(fr["cf"]["Dividends"] * -1 / fr["entity"]["ShareCount"])
+                return go_round(go_div(fr["cf"]["Dividends"] * -1, fr["entity"]["ShareCount"]))
     elif name == "OpExpense":
         if (
             is_collected(fr, "ops", "Revenue")

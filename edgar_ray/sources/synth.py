@@ -53,7 +53,7 @@ from ..schema import (
     STRUCT_FIELDS,
     fact_col,
 )
-from ..functions.parse import extracted_text, go_round, is_same_scale
+from ..functions.parse import go_div, extracted_text, go_round, is_same_scale
 
 BASE_URL = "https://www.sec.gov"
 HOST = "www.sec.gov"
@@ -483,10 +483,14 @@ def golden_facts(fs: FilingSpec) -> dict:
             if first is None:
                 continue
             num = normalize_number(first) * d.scales.get(f.entity, 1)
-            if num == 0.0:
-                continue  # zero never marks collected (Go zero-value check)
-            vals[f.name] = num
+            # the reference's setter writes + sets the presence bit whenever
+            # the current value is 0 — INCLUDING an explicit 0.0 ("$ 0.00"
+            # row): bit on, slot stays writable for a later nonzero row
+            # (/root/reference/data_def.go:205-223)
             bits[f.struct] |= 1 << f.bit
+            if num == 0.0:
+                continue
+            vals[f.name] = num
 
     # WAShares/ShareCount scale sanity override (data_def.go:160-163)
     sc = vals.get("ShareCount", 0.0)
@@ -507,9 +511,9 @@ def golden_facts(fs: FilingSpec) -> dict:
             fd = FACT_BY_TAG["Dividends paid"]
             if collected(fd):
                 if collected(FACT_BY_TAG["Weighted Average Share Count"]):
-                    return go_round(-vals["Dividends"] / vals["WAShares"])
+                    return go_round(go_div(-vals["Dividends"], vals["WAShares"]))
                 if collected(FACT_BY_TAG["Shares Outstanding"]):
-                    return go_round(-vals["Dividends"] / vals["ShareCount"])
+                    return go_round(go_div(-vals["Dividends"], vals["ShareCount"]))
         elif name == "OpExpense":
             need = ("Revenue", "Cost Of Revenue", "Operational Income")
             if all(collected(FACT_BY_TAG[n]) for n in need):
