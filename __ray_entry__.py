@@ -56,7 +56,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from edgar_ray.pipelines import dedup, multimodal, relational, similarity, text
+    from edgar_ray.pipelines import (
+        dedup, multimodal, relational, similarity, text, windows)
 
     def crawl_facts(sf):
         import pyarrow.parquet as pq
@@ -138,6 +139,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_broadcast_join": relational.q_broadcast_join,
         "q_hash_join": relational.q_hash_join,
         "q_anti_join": relational.q_anti_join,
+        # temporal / windowed custom operators (as-of join, sliding window,
+        # sessionization — composed from bucketed vectorized passes)
+        "q_asof_join": windows.q_asof_join,
+        "q_window_sliding": windows.q_window_sliding,
+        "q_session_windows": windows.q_session_windows,
         # dedup suite
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -166,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filings_available": filings_available,
         "filings_getters": filings_getters,
         "filings_collected": filings_collected,
+        "filings_folder_json": filings_folder_json,
     }
 
 
@@ -271,6 +278,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderstatus = 'F')
+        """,
+        "q_asof_join": """
+            SELECT a.event_id AS event_id, a.user_id AS user_id,
+                   b.event_id AS purchase_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "q_window_sliding": """
+            SELECT event_id,
+                   count(*) OVER w AS n_1h,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                       / 100 AS sum_value_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "q_session_windows": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

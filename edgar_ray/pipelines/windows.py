@@ -1,0 +1,144 @@
+"""Windowed / temporal operators over the events log — the custom operators
+Ray Data lacks natively (as-of join, sliding time window, session windows),
+each built from the bucketed-groupby pattern (stages/bucketing.py): hash-
+bucket by the partition key, then ONE vectorized numpy pass per bucket
+(sort + searchsorted / cumsum segmentation). Every operator has a DuckDB
+oracle (ASOF JOIN / RANGE window / gap sessionization in SQL).
+
+Partitioning assumption (documented per the custom-operator contract): all
+rows of one key land in one bucket — guaranteed by the hash bucketing; the
+per-bucket pass is exact, so results are independent of bucket count.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.bucketing import grouped_apply
+
+_US_HOUR = np.int64(3_600_000_000)
+_US_30MIN = np.int64(1_800_000_000)
+
+
+def _events(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _ts_us(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+
+
+def q_asof_join(sf_dir: str):
+    """For each 'click' event, the same user's most recent 'purchase' at or
+    before it (inner as-of join; oracle: DuckDB ASOF JOIN)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def bucket_asof(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "purchase_id": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        a = np.nonzero(et == "click")[0]
+        b = np.nonzero(et == "purchase")[0]
+        if not len(a) or not len(b):
+            return empty
+        b = b[np.lexsort((ts[b], uid[b]))]
+        b_uid, b_ts = uid[b], ts[b]
+        b_starts = np.r_[0, np.nonzero(b_uid[1:] != b_uid[:-1])[0] + 1]
+        b_users = b_uid[b_starts]
+        b_ends = np.r_[b_starts[1:], len(b)]
+        out_e, out_u, out_p = [], [], []
+        upos = np.searchsorted(b_users, uid[a])
+        for i, ai in enumerate(a):
+            p = upos[i]
+            if p >= len(b_users) or b_users[p] != uid[ai]:
+                continue
+            lo, hi = b_starts[p], b_ends[p]
+            j = np.searchsorted(b_ts[lo:hi], ts[ai], side="right")
+            if j == 0:
+                continue
+            out_e.append(int(eid[ai]))
+            out_u.append(int(uid[ai]))
+            out_p.append(int(eid[b[lo + j - 1]]))
+        return pa.table({"event_id": pa.array(out_e, pa.int64()),
+                         "user_id": pa.array(out_u, pa.int64()),
+                         "purchase_id": pa.array(out_p, pa.int64())})
+
+    return grouped_apply(ds, ["user_id"], bucket_asof)
+
+
+def q_window_sliding(sf_dir: str):
+    """Per event: count and value-sum of the same user's events in the
+    trailing 1 hour (inclusive) — oracle: DuckDB RANGE INTERVAL window."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def bucket_window(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_1h": pa.array([], pa.int64()),
+                             "sum_value_1h": pa.array([], pa.float64())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        val_c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                         ).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        u, s, e, v = uid[order], ts[order], eid[order], val_c[order]
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        bounds = np.r_[starts, len(u)]
+        csum = np.r_[0, np.cumsum(v)]
+        n = len(order)
+        idx = np.arange(n)
+        # first index within the USER SEGMENT with ts >= ts[i] - 1h; ts is
+        # sorted per segment only, so searchsorted runs segment-local
+        # (segments per bucket are few — the key space is hash-bucketed)
+        lo = np.empty(n, dtype=np.int64)
+        for g in range(len(starts)):
+            a, b = bounds[g], bounds[g + 1]
+            lo[a:b] = a + np.searchsorted(s[a:b], s[a:b] - _US_HOUR,
+                                          side="left")
+        n_1h = idx - lo + 1
+        sums = (csum[idx + 1] - csum[lo]) / 100.0
+        return pa.table({"event_id": pa.array(e, pa.int64()),
+                         "n_1h": pa.array(n_1h, pa.int64()),
+                         "sum_value_1h": pa.array(sums, pa.float64())})
+
+    return grouped_apply(ds, ["user_id"], bucket_window)
+
+
+def q_session_windows(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization: a >30-minute silence starts a new session;
+    emits (user_id, session_start, session_end, n_events)."""
+    gap_us = np.int64(gap_minutes * 60_000_000)
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def bucket_sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_start": pa.array([], pa.timestamp("us")),
+                             "session_end": pa.array([], pa.timestamp("us")),
+                             "n_events": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        order = np.lexsort((ts, uid))
+        u, s = uid[order], ts[order]
+        new_sess = np.r_[True, (u[1:] != u[:-1]) | (s[1:] - s[:-1] > gap_us)]
+        starts = np.nonzero(new_sess)[0]
+        ends = np.r_[starts[1:], len(u)]
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "session_start": pa.array(s[starts].astype("datetime64[us]")),
+            "session_end": pa.array(s[ends - 1].astype("datetime64[us]")),
+            "n_events": pa.array(ends - starts, pa.int64()),
+        })
+
+    return grouped_apply(ds, ["user_id"], bucket_sessions)
