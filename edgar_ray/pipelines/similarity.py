@@ -89,50 +89,47 @@ def knn_brute(sf_dir: str, query_id: int = 0, k: int = 10):
 
 
 class _LshSig:
-    """Sign-bit signatures under R random hyperplanes (seeded per pool)."""
+    """Multi-table sign-bit LSH: L independent tables of k hyperplanes each
+    (seeded; built once per worker). A vector's candidate set is every vector
+    sharing ANY table bucket — the standard recall/selectivity trade
+    (single-table sign LSH has near-zero recall on weakly-clustered data)."""
 
-    def __init__(self, dim: int = 0, nbits: int = 12, seed: int = 11):
+    def __init__(self, dim: int = 0, nbits: int = 6, ntables: int = 16,
+                 seed: int = 11):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((nbits, dim))
+        self.planes = rng.standard_normal((ntables, nbits, dim))
         self.weights = (1 << np.arange(nbits)).astype(np.int64)
 
-    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
-        return ((vecs @ self.planes.T) > 0).astype(np.int64) @ self.weights
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        mat = _mat(t["embedding"])
-        return pa.table({"vec_id": t["vec_id"],
-                         "bucket": pa.array(self.bucket_of(mat), pa.int64()),
-                         "embedding": t["embedding"]})
+    def buckets_of(self, vecs: np.ndarray) -> np.ndarray:
+        """(n, dim) -> (n, L) bucket ids."""
+        bits = np.einsum("nd,lkd->nlk", vecs, self.planes) > 0
+        return bits.astype(np.int64) @ self.weights
 
 
-def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10, nbits: int = 8):
-    """Approximate top-k: score only vectors whose LSH bucket is the query's
-    bucket or one bit away (multi-probe). Recall measured against knn_brute
-    in tests; at 10^10 rows the bucket column becomes the partition key."""
+def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10, nbits: int = 6,
+            ntables: int = 16):
+    """Approximate top-k: score only vectors sharing >= 1 LSH table bucket
+    with the query (multi-table random-hyperplane LSH), then exact cosine on
+    the candidates. Recall vs knn_brute is measured in tests — the testdata
+    embeddings are near-random (top-10 cosine ~0.37), the hostile regime for
+    ANY sublinear index; at 10^10 rows the (table, bucket) pair becomes the
+    partition key and candidates arrive via one bucket-keyed shuffle instead
+    of a broadcast filter."""
     q = _query_vec(sf_dir, query_id)
     dim = len(q)
-    sig = _LshSig(dim, nbits)
-    q_bucket = int(sig.bucket_of(q[None, :])[0])
-    probes = np.unique(np.array(
-        [q_bucket] + [q_bucket ^ (1 << b) for b in range(nbits)], dtype=np.int64))
-    probes_ref = ray.put(probes)
+    sig = _LshSig(dim, nbits, ntables)
+    q_buckets = sig.buckets_of(q[None, :])[0]  # (L,)
+    qb_ref = ray.put(q_buckets)
     q_ref = ray.put(q[None, :])
 
-    ds = _emb(sf_dir).map_batches(
-        lambda t: _cached(_LshSig, dim=dim, nbits=nbits)(t),
-        batch_format="pyarrow",
-    )
-
     def probe_filter(t: pa.Table) -> pa.Table:
-        probes = ray.get(probes_ref) if isinstance(probes_ref, ray.ObjectRef) \
-            else probes_ref
-        b = t["bucket"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(probes, b), 0, len(probes) - 1)
-        return t.filter(pa.array(probes[pos] == b)) \
-            .select(["vec_id", "embedding"])
+        qb = ray.get(qb_ref) if isinstance(qb_ref, ray.ObjectRef) else qb_ref
+        s = _cached(_LshSig, dim=dim, nbits=nbits, ntables=ntables)
+        mat = _mat(t["embedding"])
+        hit = (s.buckets_of(mat) == qb[None, :]).any(axis=1)
+        return t.filter(pa.array(hit)).select(["vec_id", "embedding"])
 
-    cand = ds.map_batches(probe_filter, batch_format="pyarrow")
+    cand = _emb(sf_dir).map_batches(probe_filter, batch_format="pyarrow")
     partial = cand.map_batches(
         lambda t: _cached(_BatchTopK, q_ref=q_ref, k=k)(t),
         batch_format="pyarrow",
