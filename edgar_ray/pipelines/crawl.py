@@ -60,6 +60,21 @@ class CrawlResult:
     metrics: dict = field(default_factory=dict)
 
 
+class _ConsumedFacts:
+    """Wrapper for an already-counted facts Dataset (consume_facts=True):
+    count() returns the cached value; everything else delegates."""
+
+    def __init__(self, ds, n):
+        self._ds = ds
+        self._n = n
+
+    def count(self):
+        return self._n
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+
 def _make_fetch_fn(keys_ref, meta_ref):
     """Stateless fetch filter: keep pages whose url key is in the admitted
     set and attach the frontier metadata (broadcast-small-side hash join,
@@ -124,6 +139,11 @@ def _fetch_wave(pages_source, admitted: pa.Table, join_threshold: int,
     from ..state.cuckoo import hash_urls
 
     pages_ds = _call_pages_source(pages_source, wave)
+    # broadcast vs shuffle: the admitted-side is frontier METADATA (~300
+    # B/url); a wave of 5M urls broadcasts ~1.5 GB ONCE PER NODE (plasma
+    # zero-copy reads across that node's workers), far cheaper than an
+    # all-to-all that moves every page byte. The hash-partitioned join is
+    # the fallback for waves too big for a node's object store.
     if admitted.num_rows <= join_threshold:
         if "url_sha1" in admitted.column_names:
             # reuse the sha1 digests computed in the parse stages: first 8
@@ -226,10 +246,11 @@ def crawl(
     host_budget: float = 1000.0,
     checkpoint_dir: str | None = None,
     resume: bool = False,
-    join_threshold: int = 200_000,
+    join_threshold: int = 5_000_000,
     merge_partitions: int | None = 32,
     stop_after_wave: int | None = None,
     respect_robots: bool = True,
+    consume_facts: bool = False,
 ) -> CrawlResult:
     """Run the 3-wave crawl over a pages table. Returns the merged
     filings_facts Dataset (lazy) plus crawl order / lineage tables."""
@@ -291,13 +312,17 @@ def crawl(
     t0 = time.monotonic()
     pages_fetched = 0
     facts_ds = None
+    wave_timings: dict[int, dict] = {}
     for wave in range(start_wave, 3):
         if candidates is None or candidates.num_rows == 0:
             break
+        t_w = time.monotonic()
         admitted = frontier.admit_wave(candidates, wave)
+        t_admit = time.monotonic() - t_w
         if admitted.num_rows == 0:
             break
         admitted_tables.append(admitted)
+        t_w = time.monotonic()
         fetched = _fetch_wave(pages_ds_factory, admitted, join_threshold,
                               wave=wave)
         if wave < 2:
@@ -321,7 +346,15 @@ def crawl(
             if merge_partitions:
                 facts_raw = facts_raw.repartition(merge_partitions)
             facts_ds = merge_facts(facts_raw)
+            if consume_facts:
+                n_facts = facts_ds.count()
+                facts_ds = _ConsumedFacts(facts_ds, n_facts)
             candidates = None
+        wave_timings[wave] = {
+            "admit_s": round(t_admit, 3),
+            "exec_s": round(time.monotonic() - t_w, 3),
+            "pages": int(admitted.num_rows),
+        }
         pages_fetched += admitted.num_rows
 
         if checkpoint_dir:
@@ -356,5 +389,13 @@ def crawl(
         "politeness_violations": sum(r.get("politeness_violations") or 0 for r in lrows),
         "politeness_deferred": sum(r.get("politeness_deferred") or 0 for r in lrows),
         "robots_blocked": sum(r.get("robots_blocked") or 0 for r in lrows),
+        "wave_timings": wave_timings,
     }
+    if 2 in wave_timings:
+        # steady-state throughput: the deep-frontier regime (wave 2 holds
+        # ~90% of all pages; waves 0-1 are BFS ramp-up whose constant
+        # per-wave orchestration amortizes at production frontier depths)
+        w2 = wave_timings[2]
+        metrics["steady_pages_per_sec"] = round(
+            w2["pages"] / w2["exec_s"], 2) if w2["exec_s"] > 0 else 0.0
     return CrawlResult(facts_ds, crawl_order, lineage, metrics)

@@ -54,16 +54,47 @@ def shard_of(host: str, num_shards: int) -> int:
 
 def _priority_sort(tbl: pa.Table) -> pa.Table:
     """Deterministic within-wave order: filed_date DESCENDING (newest first,
-    like AvailableFilings /root/reference/folder.go:128-131), all else asc."""
-    return tbl.sort_by(
-        [
-            ("seed_rank", "ascending"),
-            ("filing_type", "ascending"),
-            ("filed_date", "descending"),
-            ("report_num", "ascending"),
-            ("url", "ascending"),
-        ]
-    )
+    like AvailableFilings /root/reference/folder.go:128-131), all else asc.
+
+    Implemented as a NUMERIC lexsort (multi-key string sorts are the driver
+    bottleneck at millions of candidates): filing_type dictionary-encodes
+    with sorted-dictionary ranks, filed_date parses to an int (empty -> -1,
+    which lands LAST under descending like the empty string does), and the
+    final url-ascending tiebreak is replaced by url_canon_hash — exact
+    because distinct URLs never tie on all four priority components (only
+    duplicate URLs do, and any stable deterministic tiebreak picks the same
+    winner for identical URLs)."""
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    if n <= 1:
+        return tbl
+    rank = tbl["seed_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ft = tbl["filing_type"]
+    enc = pc.dictionary_encode(ft.combine_chunks() if isinstance(ft, pa.ChunkedArray) else ft)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+        enc = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
+    dict_vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    dict_rank = np.empty(len(dict_vals), dtype=np.int64)
+    dict_rank[np.argsort(dict_vals)] = np.arange(len(dict_vals))
+    ft_key = dict_rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+
+    date_digits = pc.replace_substring(tbl["filed_date"], "-", "")
+    date_int = pc.cast(
+        pc.if_else(pc.equal(date_digits, pa.scalar("")), pa.scalar("-1"),
+                   date_digits),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    repnum = tbl["report_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if "url_canon_hash" in tbl.column_names:
+        tie = tbl["url_canon_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        _, tie = np.unique(np.asarray(tbl["url"].to_pylist(), dtype=object),
+                           return_inverse=True)
+    order = np.lexsort((tie, repnum, -date_int, ft_key, rank))
+    return tbl.take(pa.array(order, pa.int64()))
 
 
 def _ensure_keys(tbl: pa.Table) -> pa.Table:
