@@ -22,16 +22,20 @@ from collections.abc import Callable
 from typing import Any
 
 
-_CORPUS_DIR = "/tmp/edgar_ray_corpus_v1"
+def _corpus_dir() -> str:
+    from edgar_ray.sources.synth import corpus_version
+
+    return f"/tmp/edgar_ray_corpus_{corpus_version()}"
 
 
 def _corpus(n_tickers: int = 4, filings: int = 3) -> dict[str, str]:
     from edgar_ray.sources.synth import write_corpus
 
-    marker = os.path.join(_CORPUS_DIR, "crawl_order_golden.parquet")
+    d = _corpus_dir()
+    marker = os.path.join(d, "crawl_order_golden.parquet")
     if not os.path.exists(marker):
-        write_corpus(_CORPUS_DIR, n_tickers, filings)
-    return {name: os.path.join(_CORPUS_DIR, f"{name}.parquet")
+        write_corpus(d, n_tickers, filings)
+    return {name: os.path.join(d, f"{name}.parquet")
             for name in ("pages", "seed_tickers", "filings_golden",
                          "crawl_order_golden")}
 
@@ -88,7 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(paths["pages"])
         return ds.map_batches(verify_text, batch_format="pyarrow")
 
-    _FACTS_DIR = "/tmp/edgar_ray_facts_v1"
+    from edgar_ray.sources.synth import corpus_version
+
+    _FACTS_DIR = f"/tmp/edgar_ray_facts_{corpus_version()}"
 
     def _facts_ds(sf):
         """Crawled filings_facts, cached as ticker-partitioned Parquet via the

@@ -35,7 +35,9 @@ def _bench_corpus() -> tuple[str, int, int]:
     else:
         tier = os.path.basename(os.path.normpath(SF_DIR))
         n_tickers, filings = _CORPUS_SIZES.get(tier, (48, 6))
-    out = f"/tmp/edgar_ray_bench_corpus_{n_tickers}x{filings}"
+    from edgar_ray.sources.synth import corpus_version
+
+    out = f"/tmp/edgar_ray_bench_corpus_{n_tickers}x{filings}_{corpus_version()}"
     if not os.path.exists(os.path.join(out, "crawl_order_golden.parquet")):
         from edgar_ray.sources.synth import write_corpus
 

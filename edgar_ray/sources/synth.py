@@ -769,6 +769,16 @@ def _desc(date: str) -> str:
     return "".join(str(9 - int(c)) if c.isdigit() else c for c in date)
 
 
+def corpus_version() -> str:
+    """Content hash of this generator module: cached corpora embed it in
+    their directory names so a semantics change can never serve a stale
+    /tmp cache to the driver or bench."""
+    import hashlib as _h
+
+    with open(__file__, "rb") as f:
+        return _h.sha1(f.read()).hexdigest()[:8]
+
+
 def write_corpus(out_dir: str, n_tickers: int = 8, filings_per_type: int = 4,
                  seed: int = 42, parallelism: int | None = None) -> dict[str, str]:
     """Write the corpus. With Ray initialized and a large ticker universe the
