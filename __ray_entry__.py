@@ -92,6 +92,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(paths["pages"])
         return ds.map_batches(verify_text, batch_format="pyarrow")
 
+    def crawl_missing_docs(sf):
+        """A5 (/root/reference/reportmap.go:80-112): per filing-index page,
+        the missing-required-docs string (Ops<->Income equivalence); '' when
+        complete."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from edgar_ray.functions.parse import filing_page_parser, get_missing_docs
+        from edgar_ray.stages.extract import classify_url
+
+        paths = _corpus()
+
+        def check(t: pa.Table) -> pa.Table:
+            out_acc, out_missing = [], []
+            for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+                if classify_url(url) != "index":
+                    continue
+                for ftype in ("10-K", "10-Q"):
+                    docs = filing_page_parser(html, ftype)
+                    if docs:
+                        out_acc.append(url)
+                        out_missing.append(get_missing_docs(docs))
+                        break
+            return pa.table({"url": pa.array(out_acc, pa.string()),
+                             "missing_docs": pa.array(out_missing, pa.string())})
+
+        return rd.read_parquet(paths["pages"]).map_batches(
+            check, batch_format="pyarrow")
+
     from edgar_ray.sources.synth import corpus_version
 
     _FACTS_DIR = f"/tmp/edgar_ray_facts_{corpus_version()}"
@@ -160,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_knn_brute": similarity.knn_brute,
         "similarity_knn_batch": similarity.knn_batch,
         "similarity_ann_lsh": similarity.ann_lsh,
+        "similarity_ann_ivf": similarity.ann_ivf,
         # text analysis
         "text_token_count": text.token_count,
         "text_token_pieces": text.token_pieces,
@@ -174,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_filings_facts": crawl_facts,
         "crawl_order": crawl_order,
         "crawl_text_parity": text_parity,
+        "crawl_missing_docs": crawl_missing_docs,
         # Filing query API (/root/reference/edgar.go:18-94) over crawled facts
         "filings_available": filings_available,
         "filings_getters": filings_getters,

@@ -159,3 +159,61 @@ def knn_batch(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5
 
     return partial.groupby("query_idx").map_groups(per_query_topk,
                                                    batch_format="pandas")
+
+
+class _IvfAssign:
+    """IVF coarse quantizer: centroids are a deterministic sample of the
+    corpus (lowest vec_ids), unit-normalized once per worker; assignment =
+    argmax cosine against the centroid matrix."""
+
+    def __init__(self, cent_ref=None):
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        self.centroids = c  # (nlist, dim), rows unit-norm
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return np.argmax(norm @ self.centroids.T, axis=1)
+
+
+def ann_ivf(sf_dir: str, query_id: int = 0, k: int = 10, nlist: int = 32,
+            nprobe: int = 8):
+    """IVF-flat approximate top-k: score only vectors whose nearest centroid
+    is among the query's ``nprobe`` closest centroids, then exact cosine on
+    the candidates. Expected candidate fraction ~ nprobe/nlist. At 10^10
+    rows the centroid id is the PARTITION KEY (write the corpus bucketed by
+    assignment; a probe then reads only nprobe partitions — true prune at
+    the read); here the assignment is recomputed per batch against a
+    broadcast centroid matrix."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cent_tbl = pq.read_table(path, columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", nlist)])
+    cents = np.stack(cent_tbl["embedding"].to_pylist()).astype(np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cent_ref = ray.put(cents)
+
+    q = _query_vec(sf_dir, query_id)
+    q_sims = cents @ q
+    probes = np.sort(np.argsort(-q_sims)[:nprobe])
+    probes_ref = ray.put(probes)
+    q_ref = ray.put(q[None, :])
+
+    def probe_filter(t: pa.Table) -> pa.Table:
+        pr = ray.get(probes_ref) if isinstance(probes_ref, ray.ObjectRef) \
+            else probes_ref
+        ivf = _cached(_IvfAssign, cent_ref=cent_ref)
+        assign = ivf.assign(_mat(t["embedding"]))
+        hit = np.isin(assign, pr)
+        return t.filter(pa.array(hit)).select(["vec_id", "embedding"])
+
+    cand = _emb(sf_dir).map_batches(probe_filter, batch_format="pyarrow")
+    partial = cand.map_batches(
+        lambda t: _cached(_BatchTopK, q_ref=q_ref, k=k)(t),
+        batch_format="pyarrow",
+    )
+    return (
+        partial.sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id"])
+    )

@@ -47,3 +47,62 @@ def test_canonicalize():
     assert canonicalize("HTTP://WWW.SEC.GOV:80/a?b=1&") == "http://www.sec.gov/a?b=1"
     assert canonicalize("https://www.sec.gov/x#frag") == "https://www.sec.gov/x"
     assert len(url_sha1("https://www.sec.gov/x")) == 20
+
+
+def _candidates(rows):
+    """rows: (url, host, seed_rank, filing_type, filed_date, report_num)."""
+    import pyarrow as pa
+
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "host": pa.array([r[1] for r in rows], pa.string()),
+        "seed_rank": pa.array([r[2] for r in rows], pa.int32()),
+        "filing_type": pa.array([r[3] for r in rows], pa.string()),
+        "filed_date": pa.array([r[4] for r in rows], pa.string()),
+        "report_num": pa.array([r[5] for r in rows], pa.int32()),
+    })
+
+
+def test_frontier_multi_host(ray_session):
+    """Politeness budgets are per-host-independent; robots rules only block
+    their own host; dedup spans hosts via url-hash shards."""
+    from edgar_ray.state.frontier import Frontier
+
+    f = Frontier(num_shards=2, capacity=4096, host_budget=2.0,
+                 robots_rules={"b.com": ["https://b.com/private/"]})
+    rows = [
+        (f"https://a.com/p{i}", "a.com", 0, "10-K", "2018-01-01", i)
+        for i in range(4)
+    ] + [
+        (f"https://b.com/p{i}", "b.com", 0, "10-K", "2018-01-01", i)
+        for i in range(4)
+    ] + [
+        ("https://b.com/private/x", "b.com", 0, "10-K", "2018-01-01", 9),
+        ("https://a.com/p0", "a.com", 1, "10-K", "2017-01-01", 0),  # dup url
+    ]
+    admitted = f.admit_wave(_candidates(rows), 0)
+    urls = admitted["url"].to_pylist()
+    assert "https://b.com/private/x" not in urls       # robots (host-scoped)
+    assert urls.count("https://a.com/p0") == 1         # cross-batch dup dropped
+    assert len(urls) == 8
+    # the duplicate's WINNER is the higher-priority copy (seed_rank 0)
+    row = admitted.filter(
+        __import__("pyarrow").compute.equal(admitted["url"], "https://a.com/p0")
+    ).to_pylist()[0]
+    assert row["seed_rank"] == 0
+
+    # per-host politeness: each host's slots start at 0 and step by 1/budget
+    by_host = {}
+    for r in admitted.sort_by([("seq", "ascending")]).to_pylist():
+        by_host.setdefault(r["host"], []).append(r["scheduled_at"])
+    for host, slots in by_host.items():
+        assert slots == sorted(slots)
+        assert abs(slots[0]) < 1e-9, host  # independent clocks
+        diffs = [b - a for a, b in zip(slots, slots[1:])]
+        assert all(abs(d - 0.5) < 1e-9 for d in diffs), host  # 1/2.0 rps
+
+    # a second wave re-offering the same urls dedups everything
+    again = f.admit_wave(_candidates(rows[:4]), 1)
+    assert again.num_rows == 0
+    lineage = f.lineage_table().to_pylist()
+    assert sum(r["robots_blocked"] or 0 for r in lineage) == 1

@@ -93,6 +93,9 @@ def test_ann_recall_vs_brute(ray_session):
     # the query vector itself always surfaces
     assert 0 in ann
     assert len(set(brute) & set(ann)) / 10 >= 0.2
+    ivf = [r["vec_id"] for r in similarity.ann_ivf(sf, 0, 10).take_all()]
+    assert 0 in ivf
+    assert len(set(brute) & set(ivf)) / 10 >= 0.5
 
 
 def test_fingerprint_stability(planted_dir, ray_session):
