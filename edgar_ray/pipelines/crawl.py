@@ -251,6 +251,7 @@ def crawl(
     stop_after_wave: int | None = None,
     respect_robots: bool = True,
     consume_facts: bool = False,
+    output_dir: str | None = None,
 ) -> CrawlResult:
     """Run the 3-wave crawl over a pages table. Returns the merged
     filings_facts Dataset (lazy) plus crawl order / lineage tables."""
@@ -346,6 +347,14 @@ def crawl(
             if merge_partitions:
                 facts_raw = facts_raw.repartition(merge_partitions)
             facts_ds = merge_facts(facts_raw)
+            if output_dir:
+                # warehouse sink: ticker-partitioned resumable Parquet
+                # (S7; finished partitions skip on a re-run)
+                from ..stages.sink import write_partitioned
+
+                sink_stats = write_partitioned(facts_ds, output_dir, "ticker")
+                facts_ds = rd.read_parquet(output_dir)
+                wave_timings.setdefault("sink", {}).update(sink_stats)
             if consume_facts:
                 n_facts = facts_ds.count()
                 facts_ds = _ConsumedFacts(facts_ds, n_facts)

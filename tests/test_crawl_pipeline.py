@@ -114,3 +114,24 @@ def test_checkpoint_resume(corpus, tmp_path, ray_session):
         per_wave[r["wave"]] += r["admitted"]
     want = collections.Counter(golden["wave"].to_pylist())
     assert per_wave == want
+
+
+def test_crawl_with_output_sink(corpus, tmp_path, ray_session):
+    """crawl(output_dir=...) lands facts as resumable ticker-partitioned
+    Parquet; a re-run skips every finished partition."""
+    import pyarrow.parquet as pq_
+
+    from edgar_ray.stages.sink import finished_partitions
+
+    seeds = pq_.read_table(corpus["seed_tickers"])
+    out = str(tmp_path / "warehouse")
+    res = crawl(corpus["pages"], seeds, num_shards=2, output_dir=out)
+    n = res.filings_facts.count()
+    gold = pq_.read_table(corpus["filings_golden"])
+    assert n == gold.num_rows
+    parts = finished_partitions(out, "ticker")
+    assert parts == set(gold["ticker"].to_pylist())
+    res2 = crawl(corpus["pages"], seeds, num_shards=2, output_dir=out)
+    assert res2.metrics["wave_timings"]["sink"]["written_partitions"] == []
+    assert sorted(res2.metrics["wave_timings"]["sink"]["skipped_partitions"]) \
+        == sorted(parts)
