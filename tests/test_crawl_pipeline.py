@@ -135,3 +135,19 @@ def test_crawl_with_output_sink(corpus, tmp_path, ray_session):
     assert res2.metrics["wave_timings"]["sink"]["written_partitions"] == []
     assert sorted(res2.metrics["wave_timings"]["sink"]["skipped_partitions"]) \
         == sorted(parts)
+
+
+def test_large_wave_join_path(corpus, ray_session):
+    """join_threshold=0 forces every wave through the hash-partitioned
+    Dataset.join fallback; results must equal the broadcast path exactly."""
+    seeds = pq.read_table(corpus["seed_tickers"])
+    res = crawl(corpus["pages"], seeds, num_shards=2, join_threshold=0)
+    golden = pq.read_table(corpus["crawl_order_golden"])
+    got = res.crawl_order.sort_by([("seq", "ascending")])
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    facts = res.filings_facts.to_pandas().sort_values("accession").reset_index(drop=True)
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == len(gold)
+    for c in ("ops_Revenue", "bs_Assets", "collected_ops", "validation_error"):
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
