@@ -292,6 +292,7 @@ def crawl(
     manifest_path = os.path.join(checkpoint_dir, "MANIFEST.json") if checkpoint_dir else None
     completed: dict[str, Any] = {"waves": []}
     start_wave = 0
+    facts_ds0 = None
     candidates = seed_frontier(seed_tickers, filing_types)
     admitted_tables: list[pa.Table] = []
 
@@ -309,10 +310,20 @@ def crawl(
             nxt = os.path.join(checkpoint_dir, f"wave{last}_next.parquet")
             candidates = pq.read_table(nxt) if os.path.exists(nxt) else None
             start_wave = last + 1
+            if 2 in done_waves:
+                # fully-completed run: rebuild the merge from the wave-2
+                # facts checkpoint (no refetch)
+                facts_dir = os.path.join(checkpoint_dir, "wave2_facts_raw")
+                if os.path.exists(os.path.join(facts_dir, "_DONE")):
+                    fr = rd.read_parquet(facts_dir)
+                    if merge_partitions:
+                        fr = fr.repartition(merge_partitions)
+                    facts_ds0 = merge_facts(fr)
+
 
     t0 = time.monotonic()
     pages_fetched = 0
-    facts_ds = None
+    facts_ds = facts_ds0
     wave_timings: dict[int, dict] = {}
     for wave in range(start_wave, 3):
         if candidates is None or candidates.num_rows == 0:
@@ -341,6 +352,16 @@ def crawl(
             # parallelism (5x wall time at 8 cpus), and it is the natural
             # wave-2 checkpoint boundary.
             facts_raw = facts_raw.materialize()
+            if checkpoint_dir:
+                # wave-2 facts checkpoint: the compact parsed form (one
+                # ~100-byte row per page) lands as parquet so a resumed
+                # FINISHED run rebuilds filings_facts without refetching
+                facts_dir = os.path.join(checkpoint_dir, "wave2_facts_raw")
+                if not os.path.exists(os.path.join(facts_dir, "_DONE")):
+                    os.makedirs(facts_dir, exist_ok=True)
+                    facts_raw.write_parquet(facts_dir)
+                    with open(os.path.join(facts_dir, "_DONE"), "w") as fh:
+                        fh.write("")
             # coalesce the many small filtered blocks before the merge shuffle
             # (fewer shuffle tasks; row-preserving — at production block sizes
             # this is a no-op and can be disabled with merge_partitions=None)

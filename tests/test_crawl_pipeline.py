@@ -151,3 +151,28 @@ def test_large_wave_join_path(corpus, ray_session):
     assert len(facts) == len(gold)
     for c in ("ops_Revenue", "bs_Assets", "collected_ops", "validation_error"):
         assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+
+
+def test_resume_completed_run(corpus, tmp_path, ray_session):
+    """Resuming a FULLY-completed checkpointed run rebuilds filings_facts
+    from the wave-2 facts checkpoint without refetching (frontier admits
+    nothing; facts still match golden)."""
+    seeds = pq.read_table(corpus["seed_tickers"])
+    ckpt = str(tmp_path / "ckpt_full")
+    first = crawl(corpus["pages"], seeds, num_shards=2, checkpoint_dir=ckpt)
+    n_first = first.filings_facts.count()
+    resumed = crawl(corpus["pages"], seeds, num_shards=2, checkpoint_dir=ckpt,
+                    resume=True)
+    assert resumed.filings_facts is not None
+    facts = resumed.filings_facts.to_pandas().sort_values("accession").reset_index(drop=True)
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == n_first == len(gold)
+    for c in ("ops_Revenue", "bs_Assets", "validation_error"):
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+    # nothing was re-fetched on resume
+    assert resumed.metrics["pages_fetched"] == 0
+    # crawl order restored from the per-wave checkpoints
+    golden = pq.read_table(corpus["crawl_order_golden"])
+    got = resumed.crawl_order.sort_by([("seq", "ascending")])
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
