@@ -53,8 +53,12 @@ def test_go_round_truncates(x):
     """go_round is floor-truncation to 2 decimals, never rounds up
     (/root/reference/utils.go:165-167)."""
     r = go_round(x)
-    assert r <= x + 1e-9
-    assert x - r < 0.01 + 1e-9
+    # float64 rounding of x*100 can push the result one ULP past x at large
+    # magnitudes — Go's math.Floor(x*100)/100 behaves identically, so the
+    # truncation property holds only up to relative precision
+    tol = max(1e-9, abs(x) * 1e-12)
+    assert r <= x + tol
+    assert x - r < 0.01 + tol
 
 
 _URL = st.builds(
