@@ -75,7 +75,7 @@ class _ConsumedFacts:
         return getattr(self._ds, name)
 
 
-def _make_fetch_fn(keys_ref, meta_ref):
+def _make_fetch_fn(keys_ref, order_ref, meta_ref):
     """Stateless fetch filter: keep pages whose url key is in the admitted
     set and attach the frontier metadata (broadcast-small-side hash join,
     SURVEY.md §2.4 J1).
@@ -92,6 +92,7 @@ def _make_fetch_fn(keys_ref, meta_ref):
 
     def fetch(batch: pa.Table) -> pa.Table:
         keys_sorted = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        order = ray.get(order_ref) if isinstance(order_ref, ray.ObjectRef) else order_ref
         meta = ray.get(meta_ref) if isinstance(meta_ref, ray.ObjectRef) else meta_ref
         urls = batch["url"].to_pylist()
         h = hash_urls(urls)
@@ -102,7 +103,9 @@ def _make_fetch_fn(keys_ref, meta_ref):
             return _empty_fetch(batch)
         keep = np.nonzero(hit)[0]
         sub = batch.take(pa.array(keep, pa.int64()))
-        meta_rows = meta.take(pa.array(pos_c[keep], pa.int64()))
+        # meta ships UNSORTED (no driver-side full-table take); map sorted
+        # key positions back through the argsort order and take only hits
+        meta_rows = meta.take(pa.array(order[pos_c[keep]], pa.int64()))
         for col in _META_COLS:
             sub = sub.append_column(col, meta_rows[col])
         return sub
@@ -155,11 +158,10 @@ def _fetch_wave(pages_source, admitted: pa.Table, join_threshold: int,
             keys = hash_urls(admitted["url"].to_pylist())
         order = np.argsort(keys)
         keys_ref = ray.put(keys[order])
-        meta_ref = ray.put(
-            admitted.select(_META_COLS).take(pa.array(order, pa.int64()))
-        )
+        order_ref = ray.put(order)
+        meta_ref = ray.put(admitted.select(_META_COLS))
         return pages_ds.map_batches(
-            _make_fetch_fn(keys_ref, meta_ref), batch_format="pyarrow"
+            _make_fetch_fn(keys_ref, order_ref, meta_ref), batch_format="pyarrow"
         )
     # large-wave path: hash-partitioned join on url (no broadcast)
     admitted_ds = rd.from_arrow(admitted.select(["url"] + _META_COLS))
