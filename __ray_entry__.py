@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_features": multimodal.extract_features,
+        "multimodal_resize": multimodal.resize_images,
+        "multimodal_frame_sample": multimodal.sample_frames,
         # crawl engine (non-SQL; golden-verified in tests/bench)
         "crawl_filings_facts": crawl_facts,
         "crawl_order": crawl_order,

@@ -119,3 +119,105 @@ def payload_stats(sf_dir: str):
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+class Resizer:
+    """Actor-pool resize stage for image payloads: target geometry fixed per
+    actor; per-batch 'decode -> resize -> re-encode'. The codec is STUBBED
+    (no image libs in this container): output payload is a deterministic
+    hash-derived byte string of the right conceptual size, while metadata,
+    schema and batch plumbing are real. Non-image rows pass through
+    untouched."""
+
+    def __init__(self, width: int = 224, height: int = 224,
+                 real_codecs: bool = False):
+        self.width = width
+        self.height = height
+        self.real_codecs = real_codecs
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.real_codecs:
+            raise NotImplementedError("plug PIL/opencv here")
+        h = hashlib.blake2b(payload, digest_size=16,
+                            person=b"resize").digest()
+        return h * max(1, (self.width * self.height) // (16 * 64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mods = t["modality"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for m, p, w0, h0 in zip(mods, payloads,
+                                t["meta_width"].to_pylist(),
+                                t["meta_height"].to_pylist()):
+            if m == "image":
+                out_p.append(self._resize(p))
+                out_w.append(self.width)
+                out_h.append(self.height)
+            else:
+                out_p.append(p)
+                out_w.append(w0)
+                out_h.append(h0)
+        return pa.table({
+            "item_id": t["item_id"],
+            "modality": t["modality"],
+            "payload": pa.array(out_p, pa.binary()),
+            "meta_width": pa.array(out_w, pa.int32()),
+            "meta_height": pa.array(out_h, pa.int32()),
+            "meta_duration_ms": t["meta_duration_ms"],
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video payloads: emits one row per
+    sampled frame (flat_map shape — N frames out per video in), sampling at
+    a fixed fps against the metadata duration. Decode is STUBBED; frame
+    payloads derive deterministically from (payload, frame_idx)."""
+
+    def __init__(self, fps: float = 1.0, max_frames: int = 16,
+                 real_codecs: bool = False):
+        self.fps = fps
+        self.max_frames = max_frames
+        self.real_codecs = real_codecs
+
+    def _frame(self, payload: bytes, idx: int) -> bytes:
+        if self.real_codecs:
+            raise NotImplementedError("plug pyav/ffmpeg here")
+        return hashlib.blake2b(payload + idx.to_bytes(4, "big"),
+                               digest_size=32, person=b"frame").digest()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, ts_ms, frames = [], [], [], []
+        for i in range(t.num_rows):
+            if t["modality"][i].as_py() != "video":
+                continue
+            dur = int(t["meta_duration_ms"][i].as_py())
+            payload = t["payload"][i].as_py()
+            n = min(self.max_frames, max(1, int(dur / 1000.0 * self.fps)))
+            for k in range(n):
+                ids.append(t["item_id"][i].as_py())
+                fidx.append(k)
+                ts_ms.append(int(k * 1000.0 / self.fps))
+                frames.append(self._frame(payload, k))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "frame_ts_ms": pa.array(ts_ms, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def resize_images(sf_dir: str, width: int = 224, height: int = 224):
+    """Image payloads resized to a fixed geometry (actor pool; stub codec)."""
+    return synthesize_payloads(sf_dir).map_batches(
+        Resizer, fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 8), num_cpus=1,
+    )
+
+
+def sample_frames(sf_dir: str, fps: float = 1.0):
+    """Video payloads -> one row per sampled frame (actor pool; stub codec).
+    Small batch_size because frame fan-out multiplies row sizes."""
+    return synthesize_payloads(sf_dir).map_batches(
+        FrameSampler, fn_constructor_kwargs={"fps": fps},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 8), num_cpus=1,
+    )

@@ -109,3 +109,34 @@ def test_fingerprint_stability(planted_dir, ray_session):
     c = f.fingerprint(BASE * 3 + "closing remarks follow here")
     overlap = len(set(a) & set(c)) / max(1, len(set(a) | set(c)))
     assert overlap > 0.5
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    from edgar_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    df = multimodal.resize_images(sf).to_pandas()
+    im = df[df["modality"] == "image"]
+    assert len(im) > 0
+    assert (im["meta_width"] == 224).all() and (im["meta_height"] == 224).all()
+    other = df[df["modality"] != "image"]
+    # non-image rows pass through untouched
+    src = multimodal.synthesize_payloads(sf).to_pandas()
+    merged = other.merge(src, on="item_id", suffixes=("", "_src"))
+    assert (merged["payload"] == merged["payload_src"]).all()
+
+    frames = multimodal.sample_frames(sf).to_pandas()
+    vids = set(src[src["modality"] == "video"]["item_id"])
+    assert set(frames["item_id"]) <= vids
+    # frame count respects fps x duration, capped
+    per = frames.groupby("item_id")["frame_idx"].max() + 1
+    durs = src.set_index("item_id")["meta_duration_ms"]
+    import numpy as np
+    for item, n in per.items():
+        want = min(16, max(1, int(durs[item] / 1000.0)))
+        assert n == want, item
+    # deterministic frame bytes
+    f2 = multimodal.sample_frames(sf).to_pandas()
+    a = frames.sort_values(["item_id", "frame_idx"])["frame"].tolist()
+    b = f2.sort_values(["item_id", "frame_idx"])["frame"].tolist()
+    assert a == b
