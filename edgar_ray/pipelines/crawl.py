@@ -4,9 +4,9 @@ Wave loop (3 waves: query -> filing index -> R-report, exactly the
 reference's page graph /root/reference/page.go:42-73):
 
   seed frontier ──admit──> fetch (pages table ⋈ admitted urls)
-      ──map_batches(parse)──> next wave candidates ──admit──> …
-  wave-2 pages ──map_batches(extract_facts)──> facts_raw
-      ──groupby(accession).map_groups(merge)──> filings_facts
+      ──map_batches(parse)──robots_gate──> next wave candidates ──admit──> …
+  wave-2 pages ──map_batches(extract_facts: full per-doc parse)──> facts_raw
+      ──groupby(accession-bucket).map_groups(vectorized merge)──> filings_facts
 
 "Fetch" = lookup in the Common-Crawl-style ``pages`` Parquet table (the html
 column stands in for live HTTP per the input contract); Ray task retries
@@ -22,7 +22,8 @@ Scale notes (100 TB pages / 10^10 URLs):
   fetch partition purely on sha1(url) (the filter is key-local), while
   politeness stays host-global inside the frontier shards;
 - checkpoint per wave: admitted table + next-wave candidates + cuckoo shards +
-  per-shard lineage -> a killed run resumes from the last complete wave.
+  per-shard lineage + the wave-2 parsed-facts parquet -> a killed run resumes
+  from the last complete wave; a finished run resumes without refetching.
 """
 
 from __future__ import annotations

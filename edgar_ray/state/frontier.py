@@ -179,14 +179,13 @@ class FrontierShard:
 class Frontier:
     """Driver-side handle over the shard pool + the host-global scheduler.
 
-    A wave's candidate table is routed to dedup shards by url hash; each
-    shard dedups its slice in parallel; the driver k-way-merges the fresh
-    rows back into the global priority order, assigns politeness slots per
-    host and the global ``seq``. Only frontier METADATA (urls + keys, no
-    page bytes) crosses the driver — at 10^10 scale this merge becomes the
-    standard bucket prefix-sum (count per priority bucket, exclusive-scan
-    offsets, per-bucket local sort), which the shard-local sorted slices
-    here are step one of.
+    A wave's candidates are priority-sorted ONCE (numeric lexsort), routed
+    to dedup shards by url hash as bare uint64 key slices (8 bytes/url each
+    way; shards reply with fresh-masks), then filtered, politeness-scheduled
+    per host and stamped with the global ``seq``. Only frontier METADATA
+    (urls + keys, no page bytes) crosses the driver — at 10^10 scale the
+    sort/seq step becomes the standard distributed bucket prefix-sum (count
+    per priority bucket, exclusive-scan offsets, per-bucket local sort).
     """
 
     def __init__(self, num_shards: int = 4, capacity: int = 1 << 16,
