@@ -396,6 +396,10 @@ def crawl(
             if candidates is not None:
                 pq.write_table(candidates, os.path.join(checkpoint_dir, f"wave{wave}_next.parquet"))
             frontier.checkpoint(checkpoint_dir)
+            # per-partition fetch lineage snapshot (north rule): shard/wave
+            # counters as parquet alongside the frontier state
+            pq.write_table(frontier.lineage_table(),
+                           os.path.join(checkpoint_dir, "lineage.parquet"))
             completed["waves"] = sorted(set(completed["waves"]) | {wave})
             with open(manifest_path, "w") as f:
                 json.dump(completed, f)

@@ -121,10 +121,18 @@ class LangId:
     cosine over trigram count vectors, 'und' when too short."""
 
     PROFILES = {
-        "en": "the and ing ion tio ent for hat his tha ere with you was are",
-        "de": "der die und ein ich sch den von das mit cht ver gen ung ten",
-        "fr": "les des ent que une lle est dans pour par sur ais ont tre ment",
-        "es": "que los del las por una con para est como mente cion dad ado",
+        "en": "the and that with have this from they were which their said "
+              "would there about when what your them some could other than "
+              "then into time only over also after most made through",
+        "de": "der die und den von das mit sich des auf nicht eine als auch "
+              "werden aber nach wird bei einer durch haben wenn kann noch "
+              "gegen schon zwischen wurde seine unter",
+        "fr": "les des une est dans pour par sur sont avec plus cette mais "
+              "comme tout nous leur bien sans peut dont aussi cela entre "
+              "pendant toujours depuis quelques",
+        "es": "que los del las por una con para como mas pero sus esta entre "
+              "cuando muy sin sobre tambien hasta donde quien desde todos "
+              "durante estos mucho antes",
     }
 
     def __init__(self):

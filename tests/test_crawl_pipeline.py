@@ -176,3 +176,10 @@ def test_resume_completed_run(corpus, tmp_path, ray_session):
     golden = pq.read_table(corpus["crawl_order_golden"])
     got = resumed.crawl_order.sort_by([("seq", "ascending")])
     assert got["url"].to_pylist() == golden["url"].to_pylist()
+
+
+def test_politeness_deferred_counted(result):
+    # host_budget=10 rps and >10 same-host urls per wave => some admissions
+    # land >=1s past the wave start and are counted as deferred
+    deferred = sum(r["politeness_deferred"] or 0 for r in result.lineage.to_pylist())
+    assert deferred > 0

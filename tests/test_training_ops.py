@@ -140,3 +140,25 @@ def test_multimodal_resize_and_frames(ray_session):
     a = frames.sort_values(["item_id", "frame_idx"])["frame"].tolist()
     b = f2.sort_values(["item_id", "frame_idx"])["frame"].tolist()
     assert a == b
+
+
+def test_langid_planted(ray_session):
+    """The testdata documents are synthetic keyword salad (their lang column
+    is arbitrary metadata), so accuracy is asserted on planted natural-
+    language snippets instead."""
+    from edgar_ray.pipelines.text import LangId
+
+    clf = LangId()
+    samples = {
+        "en": "the committee said that they would review the report and "
+              "provide their findings after the meeting with the board",
+        "de": "der ausschuss sagte dass sie den bericht mit der zeit "
+              "durch die sitzung und nach einer weiteren woche vorlegen werden",
+        "fr": "le comite a dit que les membres vont examiner le rapport "
+              "dans les prochains jours pour une decision avec leur conseil",
+        "es": "el comite dijo que los miembros van a revisar el informe "
+              "durante los proximos dias para una decision con sus asesores",
+    }
+    for lang, text in samples.items():
+        assert clf.classify(text) == lang, (lang, clf.classify(text))
+    assert clf.classify("xz qj vv") == "und"  # too short / no signal
