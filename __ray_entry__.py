@@ -379,6 +379,34 @@ def oracle_sql() -> dict[str, str]:
                          e.vec_id ASC
             ) <= 5
         """,
+        "text_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z'']+') AS words,
+                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(words) AS n_words,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE CAST(coalesce(list_sum(
+                                 list_transform(words, x -> length(x))), 0)
+                               AS DOUBLE) / len(words) END AS mean_word_len,
+                     CAST(coalesce(list_sum(list_transform(words,
+                            x -> CASE WHEN x IN ('a', 'all', 'an', 'and', 'are', 'as', 'at', 'be', 'but', 'by', 'can', 'for', 'from', 'had', 'have', 'her', 'his', 'in', 'is', 'it', 'not', 'of', 'on', 'one', 'or', 'that', 'the', 'they', 'this', 'to', 'was', 'we', 'which', 'with', 'you')
+                                      THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+                         / greatest(len(words), 1) AS stop_ratio,
+                     CAST(n_punct AS DOUBLE) / greatest(len(words), 1) * 100.0
+                         AS punct_per_100
+              FROM w
+            )
+            SELECT doc_id, n_chars, n_words, mean_word_len, stop_ratio,
+                   punct_per_100,
+                   (n_chars >= 50 AND mean_word_len BETWEEN 2.5 AND 12.0
+                    AND stop_ratio >= 0.05) AS quality_ok
+            FROM m
+        """,
         "text_token_count": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -400,7 +428,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
         """,
         # dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
-        # similarity_ann_lsh / text_quality / text_langid / text_fingerprint /
-        # multimodal_features / crawl_* : non-SQL-expressible (stateful /
-        # model-driven / golden-verified in tests) -> rows-only check.
+        # similarity_ann_{lsh,ivf} / text_langid / text_fingerprint /
+        # multimodal_{features,resize,frame_sample} / filings_* / crawl_* :
+        # non-SQL-expressible (stateful / approximate / model-driven /
+        # binary transforms — golden-verified in tests) -> rows-only check.
     }
