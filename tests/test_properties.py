@@ -136,3 +136,41 @@ def test_bucket_head_matches_pandas(rows, k):
             .groupby("g", sort=False).head(k)
             .sort_values(["g", "a", "b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+_HTML_SOUP = st.text(
+    alphabet=st.sampled_from(list(
+        "<>/abctdr =\"'&;#!-\n\t table row spanclass num id onclick href")),
+    max_size=400,
+)
+
+
+@given(_HTML_SOUP)
+@settings(max_examples=200, deadline=None)
+def test_parsers_never_crash_on_soup(soup):
+    """The HTML walkers degrade gracefully on arbitrary input (the reference
+    tokenizer never panics on malformed markup; neither may we)."""
+    from edgar_ray.functions.parse import (
+        extracted_text,
+        filing_page_parser,
+        fin_report_raw,
+        query_page_parser,
+    )
+
+    for ft in ("10-K",):
+        r = query_page_parser(soup, ft)
+        assert isinstance(r, dict)
+    assert isinstance(filing_page_parser(soup, "10-K"), dict)
+    headings, rows = fin_report_raw(soup)
+    assert isinstance(headings, list) and isinstance(rows, list)
+    assert isinstance(extracted_text("https://x/soup.htm", soup), str)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_parsers_accept_bytes(blob):
+    from edgar_ray.functions.parse import extracted_text, fin_report_raw
+
+    headings, rows = fin_report_raw(blob)
+    assert isinstance(headings, list)
+    assert isinstance(extracted_text("https://x/b.htm", blob), str)
