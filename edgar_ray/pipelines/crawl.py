@@ -355,6 +355,11 @@ def crawl(
             # parallelism (5x wall time at 8 cpus), and it is the natural
             # wave-2 checkpoint boundary.
             facts_raw = facts_raw.materialize()
+            # fetch accounting (lineage: pages_ok/pages_err): one facts_raw
+            # row per successfully fetched+parsed page; admitted urls absent
+            # from the pages table are fetch failures (404s of the stand-in)
+            pages_ok = facts_raw.count()
+            pages_err = int(admitted.num_rows) - pages_ok
             if checkpoint_dir:
                 # wave-2 facts checkpoint: the compact parsed form (one
                 # ~100-byte row per page) lands as parquet so a resumed
@@ -388,6 +393,9 @@ def crawl(
             "exec_s": round(time.monotonic() - t_w, 3),
             "pages": int(admitted.num_rows),
         }
+        if wave == 2:
+            wave_timings[wave]["pages_ok"] = int(pages_ok)
+            wave_timings[wave]["pages_err"] = int(pages_err)
         pages_fetched += admitted.num_rows
 
         if checkpoint_dir:

@@ -244,6 +244,29 @@ def extract_facts(batch: pa.Table) -> pa.Table:
     return pa.table({name: pa.array(out[name], typ) for name, typ in FACTS_RAW_FIELDS})
 
 
+class ExtractFactsActor:
+    """Actor-pool variant of :func:`extract_facts` (north-star phrasing: "a
+    stateful actor-pool stage extracting filing facts"): per-actor state —
+    the XBRL tag map, compiled row/scale patterns, the report schema — is
+    bound once in ``__init__`` and reused across batches. The stateless task
+    form is the default here because this state is cheap to import; swap to
+    ``map_batches(ExtractFactsActor, concurrency=(m, n))`` when the
+    extraction state becomes heavy (a real tokenizer/model)."""
+
+    def __init__(self):
+        from ..functions.report import apply_doc_rows, new_financial_report
+        from ..functions.xbrl import XBRL_TAGS
+        from ..schema import FACT_FIELDS
+
+        self._apply = apply_doc_rows
+        self._new_report = new_financial_report
+        self._tag_map = XBRL_TAGS  # bound per actor
+        self._fields = FACT_FIELDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_facts(batch)
+
+
 def verify_text(batch: pa.Table) -> pa.Table:
     """Per-row invariant stage: recompute the canonical extracted text from
     html and compare against the stored ``text`` column (the input_hint

@@ -183,3 +183,23 @@ def test_politeness_deferred_counted(result):
     # land >=1s past the wave start and are counted as deferred
     deferred = sum(r["politeness_deferred"] or 0 for r in result.lineage.to_pylist())
     assert deferred > 0
+
+
+def test_fetch_error_accounting(corpus, ray_session):
+    """Admitted urls missing from the pages table count as fetch errors
+    (pages_err) instead of silently vanishing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    seeds = pq.read_table(corpus["seed_tickers"])
+    full = pq.read_table(corpus["pages"])
+    # drop one R-report page from the "web"
+    victim = next(u for u in full["url"].to_pylist() if "/R2.htm" in u)
+    holey = full.filter(pc.not_equal(full["url"], victim))
+    res = crawl(None, seeds, pages_ds_factory=lambda: rd.from_arrow(holey),
+                num_shards=2)
+    res.filings_facts.count()
+    w2 = res.metrics["wave_timings"][2]
+    assert w2["pages_err"] >= 1
+    assert w2["pages_ok"] + w2["pages_err"] == w2["pages"]
