@@ -203,3 +203,34 @@ def test_fetch_error_accounting(corpus, ray_session):
     w2 = res.metrics["wave_timings"][2]
     assert w2["pages_err"] >= 1
     assert w2["pages_ok"] + w2["pages_err"] == w2["pages"]
+
+
+def test_actor_pool_extract_variant(corpus, ray_session):
+    """ExtractFactsActor (actor-pool form) produces byte-identical facts_raw
+    to the stateless task form."""
+    import ray.data as rd
+
+    from edgar_ray.stages.extract import ExtractFactsActor, extract_facts
+
+    pages = pq.read_table(corpus["pages"])
+    import pyarrow.compute as pc
+    reports = pages.filter(
+        pc.match_substring(pages["url"], "/Archives/edgar/data/"))
+    # attach the frontier metadata a fetched batch would carry
+    import pyarrow as pa
+    n = reports.num_rows
+    meta = {
+        "ticker": ["T"] * n, "cik": ["1"] * n, "accession": ["A"] * n,
+        "filing_type": ["10-K"] * n, "filed_date": ["2018-01-01"] * n,
+        "doc_type": ["Operations"] * n, "report_num": list(range(n)),
+    }
+    batch = reports.select(["url", "html"])
+    for k, v in meta.items():
+        typ = pa.int32() if k == "report_num" else pa.string()
+        batch = batch.append_column(k, pa.array(v, typ))
+    task_out = extract_facts(batch)
+    ds = rd.from_arrow(batch).map_batches(
+        ExtractFactsActor, batch_format="pyarrow", concurrency=(1, 2))
+    actor_out = ds.to_pandas().sort_values("report_num").reset_index(drop=True)
+    want = task_out.to_pandas().sort_values("report_num").reset_index(drop=True)
+    assert actor_out.equals(want)

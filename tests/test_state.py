@@ -106,3 +106,17 @@ def test_frontier_multi_host(ray_session):
     assert again.num_rows == 0
     lineage = f.lineage_table().to_pylist()
     assert sum(r["robots_blocked"] or 0 for r in lineage) == 1
+
+
+def test_cuckoo_high_load():
+    """Inserts stay reliable near the ~95% design load for 4-slot buckets."""
+    cap = 1 << 12  # 4096 slots
+    f = CuckooFilter(cap)
+    n = int(cap * 0.94)
+    h = hash_urls([f"https://load/{i}" for i in range(n)])
+    fresh = f.add_many(h)
+    # a tiny fraction may be cuckoo false-positive "dups"; everything else
+    # must insert, and membership must hold for all inserted keys
+    assert fresh.sum() >= n * 0.98
+    assert f.contains_many(h).all()
+    assert f.count == int((f.table != 0).sum())
