@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_broadcast_join": relational.q_broadcast_join,
         "q_hash_join": relational.q_hash_join,
         "q_anti_join": relational.q_anti_join,
+        "q_percentiles": relational.q_percentiles,
+        "q_string_classify": relational.q_string_classify,
         # temporal / windowed custom operators (as-of join, sliding window,
         # sessionization — composed from bucketed vectorized passes)
         "q_asof_join": windows.q_asof_join,
@@ -317,6 +319,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderstatus = 'F')
+        """,
+        "q_percentiles": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) / 100.0
+                       AS median_price,
+                   round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95)) / 100.0
+                       AS p95_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q_string_classify": """
+            SELECT CASE WHEN upper(p_name) LIKE '%STEEL%' THEN 'steel'
+                        WHEN upper(p_name) LIKE '%BRASS%' THEN 'brass'
+                        WHEN p_type = 'ECONOMY' THEN 'economy'
+                        ELSE 'other' END AS material,
+                   count(*) AS n_parts
+            FROM part GROUP BY 1
         """,
         "q_asof_join": """
             SELECT a.event_id AS event_id, a.user_id AS user_id,

@@ -374,3 +374,73 @@ def q_anti_join(sf_dir: str):
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     return cust.map_batches(drop_seen, batch_format="pyarrow")
+
+
+def q_percentiles(sf_dir: str):
+    """Distribution aggregates (median / p95 of order value per status):
+    exact-cents percentiles computed vectorized per group after a bucketed
+    shuffle; both sides round to cents so linear-interpolation results
+    hash-match the DuckDB quantile_cont oracle."""
+    import numpy as np
+
+    from ..stages.bucketing import grouped_apply
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "price_c": pa.array(c)})
+
+    def bucket_pct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderstatus": pa.array([], pa.string()),
+                             "median_price": pa.array([], pa.float64()),
+                             "p95_price": pa.array([], pa.float64()),
+                             "n_orders": pa.array([], pa.int64())})
+        status = np.asarray(t["o_orderstatus"].to_pylist(), dtype=object)
+        price = t["price_c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(status, return_inverse=True)
+
+        def _half_away(x: float) -> float:
+            # DuckDB round() is half-away-from-zero; Python round() is
+            # banker's — medians of even groups land exactly on half-cents
+            return np.floor(x + 0.5) if x >= 0 else np.ceil(x - 0.5)
+
+        med, p95, cnt = [], [], []
+        for g in range(len(uniq)):
+            v = price[inv == g]
+            med.append(_half_away(float(np.percentile(v, 50))) / 100.0)
+            p95.append(_half_away(float(np.percentile(v, 95))) / 100.0)
+            cnt.append(len(v))
+        return pa.table({"o_orderstatus": pa.array(uniq.tolist(), pa.string()),
+                         "median_price": pa.array(med, pa.float64()),
+                         "p95_price": pa.array(p95, pa.float64()),
+                         "n_orders": pa.array(cnt, pa.int64())})
+
+    return grouped_apply(ds.map_batches(cents, batch_format="pyarrow"),
+                         ["o_orderstatus"], bucket_pct, num_buckets=8)
+
+
+def q_string_classify(sf_dir: str):
+    """Contains-classifier over strings (getMenuCategory / lookupDocType
+    analog, /root/reference/reportmap.go:21-78): vectorized
+    pyarrow.compute match_substring + case dispatch, then counts per class."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        name_u = pc.utf8_upper(t["p_name"])
+        is_steel = pc.match_substring(name_u, "STEEL")
+        is_brass = pc.match_substring(name_u, "BRASS")
+        is_econ = pc.equal(t["p_type"], pa.scalar("ECONOMY"))
+        cls = pc.if_else(is_steel, pa.scalar("steel"),
+                         pc.if_else(is_brass, pa.scalar("brass"),
+                                    pc.if_else(is_econ, pa.scalar("economy"),
+                                               pa.scalar("other"))))
+        return pa.table({"material": cls})
+
+    return (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby("material")
+        .aggregate(Count(alias_name="n_parts"))
+    )
