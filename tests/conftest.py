@@ -25,9 +25,11 @@ def ray_session():
     ray.shutdown()
 
 
-@pytest.fixture(scope="session")
-def sf_dir():
-    return os.path.join(TESTDATA, "sf0.001")
+@pytest.fixture(scope="session", params=["sf0.001", "sf0.01"])
+def sf_dir(request):
+    """Both the smallest tier and the driver's correctness-gate tier
+    (sf0.01) — oracle comparisons must hold at the scale the gate runs."""
+    return os.path.join(TESTDATA, request.param)
 
 
 def sample(name: str) -> bytes:
