@@ -217,3 +217,58 @@ def ann_ivf(sf_dir: str, query_id: int = 0, k: int = 10, nlist: int = 32,
         .limit(k)
         .select_columns(["vec_id"])
     )
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, nlist: int = 32) -> dict:
+    """Write the embeddings BUCKETED BY CENTROID ASSIGNMENT as Hive-
+    partitioned Parquet (``centroid=<id>/``) — the true scale path for IVF:
+    a probe then READS only its nprobe partitions (prune at the source)
+    instead of scanning the corpus and filtering. Centroids (a deterministic
+    corpus sample) are stored alongside for query-time assignment."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cent_tbl = pq.read_table(path, columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", nlist)])
+    cents = np.stack(cent_tbl["embedding"].to_pylist()).astype(np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cent_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ivf = _cached(_IvfAssign, cent_ref=cent_ref)
+        a = ivf.assign(_mat(t["embedding"]))
+        return t.append_column("centroid", pa.array(a.astype(np.int32)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    rd.read_parquet(path, columns=["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["centroid"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return {"nlist": nlist, "index_dir": index_dir}
+
+
+def ann_ivf_partitioned(index_dir: str, sf_dir: str, query_id: int = 0,
+                        k: int = 10, nprobe: int = 8):
+    """IVF probe over the partitioned index: reads ONLY the nprobe centroid
+    partitions from disk (row-group IO proportional to nprobe/nlist), then
+    exact cosine rescue — no full-corpus scan anywhere."""
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _query_vec(sf_dir, query_id)
+    probes = np.argsort(-(cents @ q))[:nprobe]
+    import glob as _glob
+
+    parts = []
+    for p in probes:
+        parts.extend(_glob.glob(
+            os.path.join(index_dir, f"centroid={int(p)}", "*.parquet")))
+    q_ref = ray.put(q[None, :])
+    cand = rd.read_parquet(parts, columns=["vec_id", "embedding"])
+    partial = cand.map_batches(
+        lambda t: _cached(_BatchTopK, q_ref=q_ref, k=k)(t),
+        batch_format="pyarrow",
+    )
+    return (
+        partial.sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id"])
+    )

@@ -162,3 +162,21 @@ def test_langid_planted(ray_session):
     for lang, text in samples.items():
         assert clf.classify(text) == lang, (lang, clf.classify(text))
     assert clf.classify("xz qj vv") == "und"  # too short / no signal
+
+
+def test_ivf_partitioned_index(tmp_path, ray_session):
+    """The partitioned IVF index (prune-at-read) returns exactly what the
+    scan-and-filter IVF returns, reading only the probed partitions."""
+    import os
+
+    from edgar_ray.pipelines import similarity
+
+    sf = "/root/testdata/sf0.01"
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(sf, idx)
+    part_dirs = [d for d in os.listdir(idx) if d.startswith("centroid=")]
+    assert len(part_dirs) > 1  # corpus actually spreads over centroids
+    got = [r["vec_id"] for r in
+           similarity.ann_ivf_partitioned(idx, sf, 0, 10).take_all()]
+    want = [r["vec_id"] for r in similarity.ann_ivf(sf, 0, 10).take_all()]
+    assert got == want
