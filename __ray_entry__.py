@@ -153,6 +153,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return collected_counts(_facts_ds(sf))
 
+    def _ann_ivf_partitioned(sf):
+        """IVF over a centroid-partitioned index built once per sf tier
+        (prune-at-read: probes touch only their partitions)."""
+        import hashlib as _h
+
+        from edgar_ray.pipelines import similarity as sim
+
+        tier = os.path.basename(os.path.normpath(sf))
+        idx = f"/tmp/edgar_ray_ivf_{tier}_{_h.sha1(sf.encode()).hexdigest()[:6]}"
+        if not os.path.exists(os.path.join(idx, "centroids.npy")):
+            sim.build_ivf_index(sf, idx)
+        return sim.ann_ivf_partitioned(idx, sf)
+
     def filings_folder_json(sf):
         from edgar_ray.stages.folder_json import folders_dataset
 
@@ -192,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_knn_batch": similarity.knn_batch,
         "similarity_ann_lsh": similarity.ann_lsh,
         "similarity_ann_ivf": similarity.ann_ivf,
+        "similarity_ann_ivf_partitioned": _ann_ivf_partitioned,
         # text analysis
         "text_token_count": text.token_count,
         "text_token_pieces": text.token_pieces,
