@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_clusters": dedup.dedup_connected_components,
         # similarity search
         "similarity_knn_brute": similarity.knn_brute,
         "similarity_knn_batch": similarity.knn_batch,

@@ -395,3 +395,65 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.4, limit_ids: int =
 
     return ds.map_batches(cap, batch_format="pyarrow").map_batches(
         pair_find, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: distributed connected components (label propagation)
+# ---------------------------------------------------------------------------
+
+
+def dedup_connected_components(sf_dir: str, max_iters: int = 10):
+    """Cluster near-duplicate pairs into components via ITERATIVE min-label
+    propagation expressed in Dataset ops: each round hash-joins the
+    (symmetric) edge list against current labels, takes the per-node min of
+    (own label, neighbor labels), and stops when the monotone label sum
+    stops decreasing (labels only ever decrease, so the sum is a convergence
+    certificate without a change-join). Returns (doc_id, cluster_id) where
+    cluster_id = min doc_id of the component.
+
+    Near-dup clusters are shallow (cliques through shared bands), so this
+    converges in 1-3 rounds; the per-round cost is one hash-partitioned join
+    + one aggregate — the standard large-graph CC shape."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    pairs = dedup_minhash_lsh(sf_dir)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.r_[a, b], pa.int64()),
+            "peer": pa.array(np.r_[b, a], pa.int64()),
+        })
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    labels = edges.groupby("node").aggregate(Min("peer", alias_name="nbr_min"))
+
+    def init_label(t: pa.Table) -> pa.Table:
+        lab = np.minimum(t["node"].to_numpy(zero_copy_only=False),
+                         t["nbr_min"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": t["node"], "label": pa.array(lab, pa.int64())})
+
+    labels = labels.map_batches(init_label, batch_format="pyarrow").materialize()
+
+    def total(ds) -> int:
+        return ds.aggregate(Sum("label"))["sum(label)"]
+
+    prev = total(labels)
+    for _ in range(max_iters):
+        prop = edges.join(labels, join_type="inner", on=("node",),
+                          num_partitions=8)
+
+        def peer_label(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["peer"], "label": t["label"]})
+
+        cand = labels.union(
+            prop.map_batches(peer_label, batch_format="pyarrow"))
+        labels = cand.groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
+        cur = total(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels

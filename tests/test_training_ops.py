@@ -180,3 +180,31 @@ def test_ivf_partitioned_index(tmp_path, ray_session):
            similarity.ann_ivf_partitioned(idx, sf, 0, 10).take_all()]
     want = [r["vec_id"] for r in similarity.ann_ivf(sf, 0, 10).take_all()]
     assert got == want
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed label propagation == sequential union-find on the same
+    near-dup pair set."""
+    from edgar_ray.pipelines.dedup import (
+        dedup_connected_components,
+        dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    labels = dedup_connected_components(sf).to_pandas()
+    pairs = dedup_minhash_lsh(sf).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs.itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in set(pairs["id_a"]) | set(pairs["id_b"])}
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == want
