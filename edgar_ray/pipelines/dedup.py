@@ -428,6 +428,9 @@ def dedup_connected_components(sf_dir: str, max_iters: int = 10):
         })
 
     edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "label": pa.array([], pa.int64())}))
     labels = edges.groupby("node").aggregate(Min("peer", alias_name="nbr_min"))
 
     def init_label(t: pa.Table) -> pa.Table:
