@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         "dedup_clusters": dedup.dedup_connected_components,
         # similarity search
         "similarity_knn_brute": similarity.knn_brute,
@@ -277,7 +278,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_collected_counts": """
             SELECT source,
-                   sum(CASE WHEN text IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END) AS n_complete,
+                   CAST(sum(CASE WHEN text IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_complete,
                    count(*) AS n_docs
             FROM documents GROUP BY source
         """,

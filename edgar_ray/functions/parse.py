@@ -79,17 +79,16 @@ def go_div(a: float, b: float) -> float:
 def is_same_scale(one: float, two: float) -> bool:
     """Relative difference <= 1.0 (/root/reference/utils.go:169-181).
 
-    Mirrors the reference's division-by-zero behavior via IEEE inf/nan.
+    Mirrors the reference's division-by-zero behavior via IEEE inf/nan:
+    both divisions run with Go float semantics (x/0 = ±Inf, 0/0 = NaN) and
+    the ``one < two`` recompute is applied AFTER the first division, exactly
+    as the Go source orders it — e.g. (one<0, two==0) gives -Inf then
+    recomputes val=(two-one)/one = -1 <= 1 → True, which a shortcut that
+    jumps straight to Inf on ZeroDivisionError would get wrong.
     """
-    try:
-        val = (one - two) / two
-        if one < two:
-            val = (two - one) / one
-    except ZeroDivisionError:
-        # go float division by zero yields +/-Inf or NaN, never traps
-        if one == 0 and two == 0:
-            return False  # 0/0 = NaN; NaN <= 1 is false
-        val = math.inf
+    val = go_div(one - two, two)
+    if one < two:
+        val = go_div(two - one, one)
     if math.isnan(val):
         return False
     return val <= 1

@@ -14,6 +14,7 @@ happens inside the bucket groups.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import re
 
@@ -23,7 +24,28 @@ import ray.data as rd
 
 from ..stages.bucketing import grouped_apply, segment_sort
 
+logger = logging.getLogger(__name__)
+
 NUM_BUCKETS = 64
+
+# Degenerate-signature guard: docs with an identical LSH key (boilerplate,
+# near-empty pages) otherwise form one giant segment whose pairwise verify
+# is O(m^2). Segments larger than this are truncated (pairs still found
+# within the cap) and the truncation is LOGGED — no silent cap.
+MAX_SEGMENT = 512
+
+
+def _truncate_segments(starts: np.ndarray, sizes: np.ndarray, kind: str):
+    """Yield (start, capped_size) for segments with >=2 members, capping
+    oversized segments at MAX_SEGMENT with a log line."""
+    big = sizes > MAX_SEGMENT
+    if big.any():
+        logger.warning(
+            "dedup[%s]: %d oversized LSH segments truncated to %d members "
+            "(largest=%d) — degenerate/boilerplate signatures",
+            kind, int(big.sum()), MAX_SEGMENT, int(sizes.max()))
+    sel = sizes >= 2
+    return zip(starts[sel], np.minimum(sizes, MAX_SEGMENT)[sel])
 
 # byte-popcount lookup for vectorized hamming distance
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -193,6 +215,14 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7, num_perm: int = 64,
 
     def sig_and_bands(t: pa.Table) -> pa.Table:
         sigs = _cached(MinHasher, num_perm=num_perm)(t)
+        # Drop empty-shingle docs BEFORE banding: they all share the all-max
+        # sentinel signature and would collide in every band (quadratic
+        # blowup on a boilerplate-heavy corpus). Jaccard on empty sets is
+        # undefined; exact dedup handles byte-identical empties.
+        empty_sig = np.full(num_perm, np.iinfo(np.uint64).max,
+                            dtype=np.uint64).tobytes()
+        keep = pa.array([b != empty_sig for b in sigs["sig"].to_pylist()])
+        sigs = sigs.filter(keep)
         return minhash_bands(sigs, bands=bands, rows=rows)
 
     banded = ds.map_batches(sig_and_bands, batch_format="pyarrow")
@@ -208,7 +238,7 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7, num_perm: int = 64,
         out_a: list[int] = []
         out_b: list[int] = []
         blobs = t["sig"].to_pylist()
-        for s, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        for s, m in _truncate_segments(starts, sizes, "minhash"):
             seg = order[s:s + m]
             seg = seg[np.argsort(ids[seg], kind="stable")]
             sig_mat = np.frombuffer(
@@ -246,9 +276,22 @@ class SimHasher:
         return int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs = [self.simhash(s) for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"],
-                         "simhash": pa.array([h - (1 << 63) for h in hs], pa.int64())})
+        # featureless (empty/whitespace) docs are DROPPED here: they would
+        # all share simhash 0 and collide in all 4 chunks — the degenerate
+        # segment guard's primary source. Exact dedup covers identical
+        # empties.
+        hs, keep = [], []
+        for s in t["text"].to_pylist():
+            if not _WORD_RE.search((s or "").lower()):
+                keep.append(False)
+                hs.append(0)
+                continue
+            keep.append(True)
+            hs.append(self.simhash(s))
+        out = pa.table({"doc_id": t["doc_id"],
+                        "simhash": pa.array([h - (1 << 63) for h in hs],
+                                            pa.int64())})
+        return out.filter(pa.array(keep))
 
 
 def dedup_simhash(sf_dir: str, hamming_max: int = 3):
@@ -282,7 +325,7 @@ def dedup_simhash(sf_dir: str, hamming_max: int = 3):
         sizes = np.diff(np.r_[starts, len(order)])
         out_a: list[int] = []
         out_b: list[int] = []
-        for s, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        for s, m in _truncate_segments(starts, sizes, "simhash"):
             seg = order[s:s + m]
             seg = seg[np.argsort(ids[seg], kind="stable")]
             seg_ids, seg_hs = ids[seg], hs[seg]
@@ -312,14 +355,16 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 3):
     ds = _docs(sf_dir)
 
     def add_key(t: pa.Table) -> pa.Table:
-        keys, shingle_sets = [], []
+        keys, shingle_sets, keep = [], [], []
         for s in t["text"].to_pylist():
             sh = _shingle_hashes(s, k)
+            keep.append(len(sh) > 0)  # shingle-less docs: Jaccard undefined
             keys.append(int(sh.min()) if len(sh) else 0)
             shingle_sets.append(sh.tobytes())
         return pa.table({"doc_id": t["doc_id"],
                          "min_shingle": pa.array(keys, pa.uint64()),
-                         "shingles": pa.array(shingle_sets, pa.binary())})
+                         "shingles": pa.array(shingle_sets, pa.binary())}
+                        ).filter(pa.array(keep))
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -331,7 +376,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 3):
         sizes = np.diff(np.r_[starts, len(order)])
         out_a: list[int] = []
         out_b: list[int] = []
-        for s, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        for s, m in _truncate_segments(starts, sizes, "ngram-jaccard"):
             seg = order[s:s + m]
             seg = seg[np.argsort(ids[seg], kind="stable")]
             sets = [set(np.frombuffer(blobs[i], dtype=np.uint64).tolist())
@@ -359,13 +404,17 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.4, limit_ids: int =
     """Embedding near-dup pairs among vec_id < limit_ids: normalize per batch,
     then an all-pairs cosine against a broadcast slice (numpy matmul). The
     broadcast side is the capped candidate set; the streaming side stays a
-    Dataset — the scale path swaps the cap for LSH bucketing (see
-    similarity.ann_lsh)."""
+    Dataset. This is the ORACLE TWIN (SQL-checkable by construction); the
+    production/scale variant with no id cap is ``dedup_embedding_lsh``."""
     import ray
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    logger.warning(
+        "dedup_embedding_cosine: candidate set CAPPED at vec_id < %d "
+        "(oracle-twin variant; use dedup_embedding_lsh for the uncapped "
+        "scale path)", limit_ids)
     path = os.path.join(sf_dir, "embeddings.parquet")
     # small side: predicate-pushdown read of only the capped candidate rows
     # (row-group pruning at the source), broadcast once via ray.put
@@ -377,6 +426,11 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.4, limit_ids: int =
     ref = ray.put((ids, mat))
 
     def pair_find(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # np.stack([]) raises; empty blocks after the cap filter must
+            # pass through cleanly
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         b_ids, b_mat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         my_ids = t["vec_id"].to_numpy(zero_copy_only=False)
         vecs = np.stack(t["embedding"].to_pylist()).astype(np.float64)
@@ -395,6 +449,82 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.4, limit_ids: int =
 
     return ds.map_batches(cap, batch_format="pyarrow").map_batches(
         pair_find, batch_format="pyarrow")
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4, nbits: int = 8,
+                        ntables: int = 8):
+    """Scale-path embedding near-dup over the FULL embeddings table (no id
+    cap): multi-table sign-LSH bucketing -> bucketed shuffle on
+    (table_id, bucket) -> exact in-segment cosine verification (vectorized
+    matmul) -> distinct pairs. Precision is exact (every emitted pair is
+    cosine-verified); recall is bounded by the LSH tables — measured by the
+    planted-near-dup test. Fan-out cost is ntables x float32 vector bytes
+    through ONE bucket-keyed shuffle; no broadcast of the corpus, so it
+    holds at 10^10 rows where the capped broadcast twin cannot."""
+    from .similarity import _LshSig, _mat
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    # vector dim from the first row of the footer-pruned single-row read
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(path)
+    dim = len(next(pf.iter_batches(batch_size=1, columns=["embedding"]
+                                   ))["embedding"][0])
+
+    empty_explode = pa.table({
+        "table_id": pa.array([], pa.int32()),
+        "bucket": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "vec": pa.array([], pa.binary()),
+    })
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_explode
+        mat = _mat(t["embedding"])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        buckets = _cached(_LshSig, dim=dim, nbits=nbits,
+                          ntables=ntables).buckets_of(mat)  # (n, L)
+        n, L = buckets.shape
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = [row.tobytes() for row in mat.astype(np.float32)]
+        return pa.table({
+            "table_id": pa.array(np.tile(np.arange(L, dtype=np.int32), n)),
+            "bucket": pa.array(buckets.reshape(-1)),
+            "vec_id": pa.array(np.repeat(ids, L)),
+            "vec": pa.array([b for b in blobs for _ in range(L)], pa.binary()),
+        })
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        tid = t["table_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = t["vec"].to_pylist()
+        order, starts = segment_sort(tid, bkt)
+        sizes = np.diff(np.r_[starts, len(order)])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for s, m in _truncate_segments(starts, sizes, "embedding-lsh"):
+            seg = order[s:s + m]
+            seg = seg[np.argsort(ids[seg], kind="stable")]
+            vmat = np.frombuffer(b"".join(blobs[i] for i in seg),
+                                 dtype=np.float32).reshape(m, dim)
+            cos = vmat @ vmat.T
+            ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+            seg_ids = ids[seg]
+            a, b = seg_ids[ii], seg_ids[jj]
+            ne = a != b  # the same vec_id can meet itself across duplicates
+            out_a.extend(np.minimum(a[ne], b[ne]).tolist())
+            out_b.extend(np.maximum(a[ne], b[ne]).tolist())
+        return _pair_table(out_a, out_b)
+
+    cand = grouped_apply(ds.map_batches(explode, batch_format="pyarrow"),
+                         ["table_id", "bucket"], bucket_pairs, NUM_BUCKETS)
+    return _distinct_pairs(cand)
 
 
 # ---------------------------------------------------------------------------
@@ -431,6 +561,9 @@ def dedup_connected_components(sf_dir: str, max_iters: int = 10):
     if edges.count() == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "label": pa.array([], pa.int64())}))
+    # size-derived join fan-out: edges is materialized so count() is free
+    # metadata (~2M edge rows per partition, floor 8)
+    cc_parts = max(8, min(1024, edges.count() // 2_000_000))
     labels = edges.groupby("node").aggregate(Min("peer", alias_name="nbr_min"))
 
     def init_label(t: pa.Table) -> pa.Table:
@@ -446,7 +579,7 @@ def dedup_connected_components(sf_dir: str, max_iters: int = 10):
     prev = total(labels)
     for _ in range(max_iters):
         prop = edges.join(labels, join_type="inner", on=("node",),
-                          num_partitions=8)
+                          num_partitions=cc_parts)
 
         def peer_label(t: pa.Table) -> pa.Table:
             return pa.table({"node": t["peer"], "label": t["label"]})

@@ -186,21 +186,34 @@ class FrameSampler:
                                digest_size=32, person=b"frame").digest()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, fidx, ts_ms, frames = [], [], [], []
-        for i in range(t.num_rows):
-            if t["modality"][i].as_py() != "video":
-                continue
-            dur = int(t["meta_duration_ms"][i].as_py())
-            payload = t["payload"][i].as_py()
-            n = min(self.max_frames, max(1, int(dur / 1000.0 * self.fps)))
-            for k in range(n):
-                ids.append(t["item_id"][i].as_py())
-                fidx.append(k)
-                ts_ms.append(int(k * 1000.0 / self.fps))
-                frames.append(self._frame(payload, k))
+        import numpy as np
+        import pyarrow.compute as pc
+
+        v = t.filter(pc.equal(t["modality"], pa.scalar("video")))
+        empty = pa.table({"item_id": pa.array([], pa.int64()),
+                          "frame_idx": pa.array([], pa.int32()),
+                          "frame_ts_ms": pa.array([], pa.int32()),
+                          "frame": pa.array([], pa.binary())})
+        if v.num_rows == 0:
+            return empty
+        # all metadata columns vectorized (repeat/arange); only the stubbed
+        # per-frame decode hash touches Python bytes — the real codec would
+        # be per-frame work regardless
+        dur = v["meta_duration_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.minimum(self.max_frames,
+                       np.maximum(1, (dur / 1000.0 * self.fps).astype(np.int64)))
+        item = v["item_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        starts = np.r_[0, np.cumsum(n)[:-1]]
+        fidx = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+        ts_ms = (fidx * 1000.0 / self.fps).astype(np.int32)
+        row_of = np.repeat(np.arange(len(n)), n)
+        payloads = v["payload"].to_pylist()
+        frames = [self._frame(payloads[r], int(k))
+                  for r, k in zip(row_of, fidx)]
         return pa.table({
-            "item_id": pa.array(ids, pa.int64()),
-            "frame_idx": pa.array(fidx, pa.int32()),
+            "item_id": pa.array(np.repeat(item, n), pa.int64()),
+            "frame_idx": pa.array(fidx.astype(np.int32), pa.int32()),
             "frame_ts_ms": pa.array(ts_ms, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
         })

@@ -336,10 +336,15 @@ def q_hash_join(sf_dir: str):
         price_c = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
         return pa.table({"o_custkey": t["o_custkey"], "price_c": pa.array(price_c)})
 
+    from ..stages.bucketing import size_partitions
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.map_batches(cents, batch_format="pyarrow").join(
         cust, join_type="inner", on=("o_custkey",),
-        right_on=("c_custkey",), num_partitions=8)
+        right_on=("c_custkey",),
+        num_partitions=size_partitions(
+            os.path.join(sf_dir, "orders.parquet"),
+            os.path.join(sf_dir, "customer.parquet")))
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("price_c", alias_name="price_sum")
     )

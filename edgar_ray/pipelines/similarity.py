@@ -26,6 +26,10 @@ def _mat(col) -> np.ndarray:
     """list<float> column -> (n, dim) float64 matrix, zero-copy through the
     Arrow values buffer (no per-row Python lists)."""
     c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(c) == 0:
+        # reshape(0, -1) raises on an empty buffer; an empty block after a
+        # selective filter stage must not crash the query
+        return np.zeros((0, 1), dtype=np.float64)
     flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(c), -1)
 
@@ -55,6 +59,10 @@ class _BatchTopK:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         mat = _mat(t["embedding"])
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

@@ -55,23 +55,25 @@ def q_asof_join(sf_dir: str):
         b_uid, b_ts = uid[b], ts[b]
         b_starts = np.r_[0, np.nonzero(b_uid[1:] != b_uid[:-1])[0] + 1]
         b_users = b_uid[b_starts]
-        b_ends = np.r_[b_starts[1:], len(b)]
-        out_e, out_u, out_p = [], [], []
+        # Fully vectorized two-level search: (uid, ts) pairs are mapped to a
+        # single sortable int64 rank key (uid-segment index × ts-rank space),
+        # then ONE global searchsorted finds each click's as-of purchase.
         upos = np.searchsorted(b_users, uid[a])
-        for i, ai in enumerate(a):
-            p = upos[i]
-            if p >= len(b_users) or b_users[p] != uid[ai]:
-                continue
-            lo, hi = b_starts[p], b_ends[p]
-            j = np.searchsorted(b_ts[lo:hi], ts[ai], side="right")
-            if j == 0:
-                continue
-            out_e.append(int(eid[ai]))
-            out_u.append(int(uid[ai]))
-            out_p.append(int(eid[b[lo + j - 1]]))
-        return pa.table({"event_id": pa.array(out_e, pa.int64()),
-                         "user_id": pa.array(out_u, pa.int64()),
-                         "purchase_id": pa.array(out_p, pa.int64())})
+        has_seg = (upos < len(b_users)) & (b_users[np.minimum(
+            upos, len(b_users) - 1)] == uid[a])
+        all_ts = np.unique(np.concatenate([ts[a], b_ts]))
+        span = np.int64(len(all_ts) + 1)
+        key_b = (np.searchsorted(b_users, b_uid).astype(np.int64) * span
+                 + np.searchsorted(all_ts, b_ts))
+        key_a = (upos.astype(np.int64) * span
+                 + np.searchsorted(all_ts, ts[a]))
+        pos = np.searchsorted(key_b, key_a, side="right")
+        ok = has_seg & (pos > b_starts[np.minimum(upos, len(b_users) - 1)])
+        sel = np.nonzero(ok)[0]
+        src = b[pos[sel] - 1]
+        return pa.table({"event_id": pa.array(eid[a[sel]], pa.int64()),
+                         "user_id": pa.array(uid[a[sel]], pa.int64()),
+                         "purchase_id": pa.array(eid[src], pa.int64())})
 
     return grouped_apply(ds, ["user_id"], bucket_asof)
 
@@ -97,17 +99,21 @@ def q_window_sliding(sf_dir: str):
         bounds = np.r_[starts, len(u)]
         csum = np.r_[0, np.cumsum(v)]
         n = len(order)
-        idx = np.arange(n)
         # first index within the USER SEGMENT with ts >= ts[i] - 1h; ts is
         # sorted per segment only, so searchsorted runs segment-local
         # (segments per bucket are few — the key space is hash-bucketed)
+        # hi uses side='right' on the row's OWN ts so tied timestamps share
+        # the full peer group — matching RANGE ... AND CURRENT ROW semantics
+        # (all equal-ts peers are inside the frame).
         lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
         for g in range(len(starts)):
             a, b = bounds[g], bounds[g + 1]
             lo[a:b] = a + np.searchsorted(s[a:b], s[a:b] - _US_HOUR,
                                           side="left")
-        n_1h = idx - lo + 1
-        sums = (csum[idx + 1] - csum[lo]) / 100.0
+            hi[a:b] = a + np.searchsorted(s[a:b], s[a:b], side="right")
+        n_1h = hi - lo
+        sums = (csum[hi] - csum[lo]) / 100.0
         return pa.table({"event_id": pa.array(e, pa.int64()),
                          "n_1h": pa.array(n_1h, pa.int64()),
                          "sum_value_1h": pa.array(sums, pa.float64())})

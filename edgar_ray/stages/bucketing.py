@@ -122,3 +122,21 @@ def grouped_apply(ds, key_cols: list[str], bucket_fn, num_buckets: int = 64):
         .groupby("_bucket")
         .map_groups(bucket_fn, batch_format="pyarrow")
     )
+
+
+def size_partitions(*paths: str, target_bytes: int = 128 << 20,
+                    min_parts: int = 8, max_parts: int = 1024) -> int:
+    """Derive a Dataset.join partition count from on-disk input size
+    (~one partition per 128 MB of input) instead of a hardcoded constant —
+    8 partitions is fine at sf0.1 but starves a 100 TB join."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return int(max(min_parts, min(max_parts, -(-total // target_bytes))))

@@ -36,8 +36,22 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     against completed work). Returns {written_partitions, skipped_partitions}.
 
     The skip is a vectorized filter against a broadcast frozen key set —
-    rows stream, nothing materializes on the driver."""
+    rows stream, nothing materializes on the driver.
+
+    Partition dirs WITHOUT a ``_DONE`` marker are partial output from a
+    crashed previous run: their files are deleted before rewriting, so the
+    partition's rows are never duplicated (write_parquet appends new uuid
+    files; it does not truncate)."""
+    import shutil
+
     done = finished_partitions(out_dir, partition_col) if resume else set()
+    prefix_ = f"{partition_col}="
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            part_dir = os.path.join(out_dir, name)
+            if (name.startswith(prefix_) and os.path.isdir(part_dir)
+                    and name[len(prefix_):] not in done):
+                shutil.rmtree(part_dir)
     done_ref = ray.put(sorted(done))
 
     def drop_done(t: pa.Table) -> pa.Table:

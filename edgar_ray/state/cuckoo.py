@@ -53,6 +53,10 @@ class CuckooFilter:
         self._mask = np.uint64(self.table.shape[0] - 1)
         self._rng = np.random.default_rng(0xC0C0)
         self.count = int(np.count_nonzero(self.table))
+        # Keys dropped because both buckets were full after MAX_KICKS
+        # evictions: a saturated shard must be OBSERVABLE (surfaced in
+        # lineage), not masquerade as deduplicated URLs.
+        self.overflow = 0
 
     # -- vectorized membership ------------------------------------------------
 
@@ -96,7 +100,8 @@ class CuckooFilter:
                 row[empties[0]] = cur
                 self.count += 1
                 return True
-        return False  # filter over-full
+        self.overflow += 1
+        return False  # filter over-full (counted, not silent)
 
     def add_many(self, hashes: np.ndarray) -> np.ndarray:
         """Insert key hashes; returns bool array: True where the key was NEW

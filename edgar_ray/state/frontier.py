@@ -141,6 +141,16 @@ class FrontierShard:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
         self.lineage: list[dict] = []
+        self._overflow_seen = 0
+
+    def _new_overflow(self, update: bool = False) -> int:
+        """Insert failures since the last wave — surfaced per-wave in
+        lineage so a saturated shard is observable data loss, never
+        miscounted as dedup hits."""
+        delta = self.filter.overflow - self._overflow_seen
+        if update:
+            self._overflow_seen = self.filter.overflow
+        return delta
 
     def add_keys(self, h: np.ndarray, wave: int) -> np.ndarray:
         """Dedup one wave's key slice (uint64 canonical-url hashes, already
@@ -156,7 +166,8 @@ class FrontierShard:
                 "wave": wave,
                 "urls_in": int(len(h)),
                 "admitted": n_fresh,
-                "dedup_hits": int(len(h)) - n_fresh,
+                "dedup_hits": int(len(h)) - n_fresh - self._new_overflow(),
+                "seen_set_overflow": self._new_overflow(update=True),
                 "politeness_violations": 0,  # enforced by construction
                 "politeness_deferred": 0,  # accounted on the scheduler row
                 "robots_blocked": 0,  # accounted on the scheduler row
@@ -174,6 +185,7 @@ class FrontierShard:
     def restore(self, blob: bytes, state: dict) -> None:
         self.filter = CuckooFilter.from_bytes(blob)
         self.lineage = list(state["lineage"])
+        self._overflow_seen = 0
 
 
 class Frontier:

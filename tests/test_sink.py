@@ -34,3 +34,20 @@ def test_write_and_resume(tmp_path, ray_session):
 
     got = pq.read_table(out).to_pandas().sort_values("v")
     assert got["v"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_resume_after_partial_write_no_duplicates(tmp_path, ray_session):
+    """A partition dir WITH parquet files but WITHOUT _DONE (crash mid-write)
+    must be cleaned and rewritten, not appended to."""
+    out = str(tmp_path / "facts")
+    write_partitioned(_ds(), out, "ticker")
+
+    # simulate a crash mid-write of partition B: files exist, marker doesn't
+    os.remove(os.path.join(out, "ticker=B", "_DONE"))
+    assert finished_partitions(out, "ticker") == {"A", "C"}
+
+    r2 = write_partitioned(_ds(), out, "ticker")
+    assert r2["written_partitions"] == ["B"]
+
+    got = pq.read_table(out).to_pandas().sort_values("v")
+    assert got["v"].tolist() == [1, 2, 3, 4, 5]  # no duplicated B rows

@@ -208,3 +208,74 @@ def test_connected_components_matches_union_find(ray_session):
     want = {n: find(n) for n in set(pairs["id_a"]) | set(pairs["id_b"])}
     got = dict(zip(labels["node"], labels["label"]))
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def planted_emb_dir(tmp_path_factory, ray_session):
+    """embeddings.parquet with 700 random vectors plus a planted near-dup
+    pair at ids (600, 650) — both ABOVE the capped-twin's 512-id window, so
+    only the uncapped LSH scale path can find them."""
+    out = tmp_path_factory.mktemp("planted_emb")
+    rng = np.random.default_rng(9)
+    n, dim = 700, 16
+    mat = rng.standard_normal((n, dim))
+    mat[650] = mat[600] + rng.standard_normal(dim) * 0.01  # near dup
+    tbl = pa.table({
+        "vec_id": pa.array(list(range(n)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(str(out), "embeddings.parquet"))
+    return str(out)
+
+
+def test_embedding_lsh_finds_planted_beyond_cap(planted_emb_dir, ray_session):
+    from edgar_ray.pipelines.dedup import dedup_embedding_lsh
+
+    pairs = _pairs(dedup_embedding_lsh(planted_emb_dir, threshold=0.95))
+    assert (600, 650) in pairs
+    # random 16-dim gaussians essentially never hit cosine >= 0.95
+    assert len(pairs) < 20
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory, ray_session):
+    """documents.parquet planting the quadratic-blowup regime: 1000 empty /
+    whitespace docs (which share the degenerate all-max MinHash signature
+    and simhash 0) around one real near-dup pair."""
+    out = tmp_path_factory.mktemp("degen")
+    texts = [BASE * 3, BASE * 3 + "closing remarks follow here"]
+    texts += ["" if i % 2 else "   " for i in range(1000)]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(str(out), "documents.parquet"))
+    return str(out)
+
+
+def test_minhash_degenerate_guard(degenerate_dir, ray_session):
+    from edgar_ray.pipelines.dedup import dedup_minhash_lsh
+
+    pairs = _pairs(dedup_minhash_lsh(degenerate_dir))
+    assert (0, 1) in pairs          # the real near-dup still found
+    flat = {i for p in pairs for i in p}
+    assert flat <= {0, 1}           # empty docs never pair (dropped pre-band)
+
+
+def test_simhash_degenerate_guard(degenerate_dir, ray_session):
+    from edgar_ray.pipelines.dedup import dedup_simhash
+
+    pairs = _pairs(dedup_simhash(degenerate_dir))
+    assert (0, 1) in pairs
+    flat = {i for p in pairs for i in p}
+    assert flat <= {0, 1}
+
+
+def test_ngram_degenerate_guard(degenerate_dir, ray_session):
+    from edgar_ray.pipelines.dedup import dedup_ngram_jaccard
+
+    pairs = _pairs(dedup_ngram_jaccard(degenerate_dir))
+    assert (0, 1) in pairs
+    flat = {i for p in pairs for i in p}
+    assert flat <= {0, 1}
