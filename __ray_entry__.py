@@ -220,6 +220,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal.extract_features,
         "multimodal_resize": multimodal.resize_images,
         "multimodal_frame_sample": multimodal.sample_frames,
+        # oracle-checkable metadata projections of the three stages above
+        # (the binary columns are stub-codec output and stay rows-only)
+        "multimodal_frame_meta": multimodal.frame_sample_meta,
+        "multimodal_resize_meta": multimodal.resize_meta,
+        "multimodal_features_meta": multimodal.features_meta,
         # crawl engine (non-SQL; golden-verified in tests/bench)
         "crawl_filings_facts": crawl_facts,
         "crawl_order": crawl_order,
@@ -461,6 +466,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_payload_stats": """
             SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
+        """,
+        "multimodal_frame_meta": """
+            WITH v AS (
+              SELECT doc_id AS item_id,
+                     least(16, greatest(1, (doc_id % 300) // 10)) AS n
+              FROM documents WHERE doc_id % 3 = 2),
+            f AS (SELECT item_id, UNNEST(range(n)) AS k FROM v)
+            SELECT item_id, CAST(k AS INTEGER) AS frame_idx,
+                   CAST(k * 1000 AS INTEGER) AS frame_ts_ms
+            FROM f
+        """,
+        "multimodal_resize_meta": """
+            WITH m AS (
+              SELECT doc_id AS item_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS modality
+              FROM documents)
+            SELECT item_id, modality,
+                   CAST(CASE WHEN modality = 'image' THEN 224
+                             WHEN modality = 'audio' THEN 0
+                             ELSE 64 + (item_id % 16) * 32 END AS INTEGER)
+                       AS meta_width,
+                   CAST(CASE WHEN modality = 'image' THEN 224
+                             WHEN modality = 'audio' THEN 0
+                             ELSE 64 + (item_id % 9) * 32 END AS INTEGER)
+                       AS meta_height,
+                   CAST(CASE WHEN modality = 'image' THEN 0
+                             ELSE (item_id % 300) * 100 END AS INTEGER)
+                       AS meta_duration_ms
+            FROM m
+        """,
+        "multimodal_features_meta": """
+            SELECT doc_id AS item_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS modality,
+                   octet_length(encode(text)) AS payload_bytes
+            FROM documents
         """,
         # dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
         # similarity_ann_{lsh,ivf} / text_langid / text_fingerprint /

@@ -24,8 +24,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_MODE = os.environ.get("GRAFT_BENCH_MODE", "full")  # "full" | "crawl"
 # bench corpus: scale the synthetic EDGAR universe with the sf tier
 _CORPUS_SIZES = {"sf0.001": (4, 3), "sf0.01": (12, 4), "sf0.1": (128, 8)}
-# the --scaling corpus is larger so parse compute dominates fixed overheads
-SCALING_CORPUS = os.environ.get("GRAFT_SCALING_CORPUS", "2048x10")
+# the --scaling corpus is the 1.77M-page steady-state regime: production
+# frontiers run hundreds of waves deep, so the BFS ramp-up constants of a
+# 3-wave toy corpus must amortize for the ratio to measure the ENGINE
+# rather than fixed per-wave launch latency (both corpus sizes are reported
+# in BASELINE.md)
+SCALING_CORPUS = os.environ.get("GRAFT_SCALING_CORPUS", "16384x10")
 
 
 def _bench_corpus() -> tuple[str, int, int]:
@@ -89,7 +93,8 @@ def run_bench() -> dict:
     # pages_path is passed alongside the materialized factory so the robots
     # fetch uses parquet predicate pushdown instead of a full block pass
     res = crawl(pages_path, seeds, pages_ds_factory=pages_factory,
-                num_shards=8, capacity=1 << 22, consume_facts=True)
+                num_shards=8, capacity=1 << 22, consume_facts=True,
+                collect_order=False)
     n_facts = res.filings_facts.count()  # cached (consumed inside crawl)
     crawl_sec = time.monotonic() - t0
     queries["crawl_extract"] = round(crawl_sec, 3)
@@ -105,6 +110,19 @@ def run_bench() -> dict:
         "steady_pages_per_sec": res.metrics.get("steady_pages_per_sec", 0.0),
         "wave_timings": res.metrics.get("wave_timings", {}),
     }
+
+    if BENCH_MODE != "crawl":
+        # large-wave Dataset.join fetch path at size: join_threshold=0
+        # forces every wave through the hash-partitioned join instead of
+        # the broadcast filter; recorded per round so the fallback path's
+        # cost at scale is visible (golden-equality is asserted in
+        # tests/test_crawl_pipeline.py::test_large_wave_join_path)
+        t0 = time.monotonic()
+        res_j = crawl(pages_path, seeds, pages_ds_factory=pages_factory,
+                      num_shards=8, capacity=1 << 22, consume_facts=True,
+                      collect_order=False, join_threshold=0)
+        queries["crawl_extract_joinfetch"] = round(time.monotonic() - t0, 3)
+        assert res_j.metrics["frontier_urls"] == res.metrics["frontier_urls"]
 
     qs = entrymod.queries()
     bench_queries = () if BENCH_MODE == "crawl" else (
@@ -133,14 +151,26 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Fresh-process runs at 8 and 32 CPUs on identical input."""
+    """Fresh-process runs at 8 and 32 CPUs on identical input.
+
+    Each leg is CPU-PINNED (taskset) to exactly its core count: Ray's
+    ``num_cpus`` only limits TASK slots — raylet/plasma/Arrow helper threads
+    otherwise leak onto all 32 physical cores and inflate the small leg's
+    throughput, understating the true N-core-node vs 4N-core-node ratio the
+    north rule asks for. Pinning makes the 8-CPU leg an honest 8-core node."""
+    import shutil as _shutil
+
     results = {}
+    have_taskset = _shutil.which("taskset") is not None
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_MODE="crawl",
                    GRAFT_BENCH_CORPUS=SCALING_CORPUS)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
+            cmd, env=env,
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout

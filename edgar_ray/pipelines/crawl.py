@@ -135,14 +135,25 @@ def _call_pages_source(pages_source, wave: int | None):
     return pages_source(wave) if takes_wave else pages_source()
 
 
-def _fetch_wave(pages_source, admitted: pa.Table, join_threshold: int,
-                wave: int | None = None):
-    """pages ⋈ admitted urls -> Dataset of page rows + frontier metadata."""
+def _fetch_wave(pages_source, admitted, join_threshold: int,
+                wave: int | None = None, num_rows: int | None = None):
+    """pages ⋈ admitted urls -> Dataset of page rows + frontier metadata.
+    ``admitted`` is an Arrow table (broadcast regime) or a Dataset (join
+    regime for waves too large to assemble on one process)."""
     import numpy as np
 
     from ..state.cuckoo import hash_urls
 
     pages_ds = _call_pages_source(pages_source, wave)
+    if not isinstance(admitted, pa.Table):
+        # large-wave path, Dataset in: hash-partitioned join on url — no
+        # driver assembly of the admitted side at all
+        n = num_rows if num_rows is not None else admitted.count()
+        return pages_ds.join(
+            admitted.select_columns(["url"] + _META_COLS),
+            join_type="inner", on=("url",),
+            num_partitions=max(16, n // 500_000),
+        )
     # broadcast vs shuffle: the admitted-side is frontier METADATA (~300
     # B/url); a wave of 5M urls broadcasts ~1.5 GB ONCE PER NODE (plasma
     # zero-copy reads across that node's workers), far cheaper than an
@@ -250,6 +261,8 @@ def crawl(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     join_threshold: int = 5_000_000,
+    admit_driver_threshold: int = 500_000,
+    collect_order: bool = True,
     merge_partitions: int | None = 32,
     stop_after_wave: int | None = None,
     respect_robots: bool = True,
@@ -296,7 +309,9 @@ def crawl(
     completed: dict[str, Any] = {"waves": []}
     start_wave = 0
     facts_ds0 = None
-    candidates = seed_frontier(seed_tickers, filing_types)
+    # candidates live as a DATASET end to end (admission is distributed;
+    # the driver never materializes the candidate table)
+    candidates = rd.from_arrow(seed_frontier(seed_tickers, filing_types))
     admitted_tables: list[pa.Table] = []
 
     if resume and manifest_path and os.path.exists(manifest_path):
@@ -311,7 +326,7 @@ def crawl(
                     pq.read_table(os.path.join(checkpoint_dir, f"wave{w}_admitted.parquet"))
                 )
             nxt = os.path.join(checkpoint_dir, f"wave{last}_next.parquet")
-            candidates = pq.read_table(nxt) if os.path.exists(nxt) else None
+            candidates = rd.read_parquet(nxt) if os.path.exists(nxt) else None
             start_wave = last + 1
             if 2 in done_waves:
                 # fully-completed run: rebuild the merge from the wave-2
@@ -328,23 +343,100 @@ def crawl(
     pages_fetched = 0
     facts_ds = facts_ds0
     wave_timings: dict[int, dict] = {}
+    stamped_by_wave: dict[int, list] = {}
     for wave in range(start_wave, 3):
-        if candidates is None or candidates.num_rows == 0:
+        if candidates is None:
             break
         t_w = time.monotonic()
-        admitted = frontier.admit_wave(candidates, wave)
+        # Admission is HYBRID by wave size (both paths share the same shard
+        # actors, politeness clock and semantics — identical results):
+        # - small ramp-up waves (BFS waves 0-1 of a fresh frontier): the
+        #   driver path — collect the tiny metadata table, one numpy
+        #   lexsort; the distributed machinery's per-plan constants would
+        #   dominate at this size even on a real cluster;
+        # - large waves: fully distributed (frontier.admit_wave_ds) —
+        #   robots gate + in-wave dedup + cuckoo-shard filter + priority
+        #   sort + seq/politeness stamping run as Ray Data stages /
+        #   block-parallel tasks; the driver sees per-block metadata only.
+        n_cand = candidates.count()
+        if n_cand <= admit_driver_threshold:
+            cand_tbl = _collect_table(candidates)
+            admitted = (frontier.admit_wave(cand_tbl, wave)
+                        if cand_tbl is not None else None)
+            n_admitted = admitted.num_rows if admitted is not None else 0
+            if n_admitted == 0:
+                break
+            admitted_tables.append(admitted)
+            admitted_ds = None
+        else:
+            stamped_refs, n_admitted, sorted_refs = frontier.admit_wave_ds(
+                candidates, wave)
+            if n_admitted == 0:
+                break
+            # the stamping tasks only add the crawl-order columns — keep
+            # them OFF the critical path (collected lazily at
+            # checkpoint/end) and launch the fetch from the pre-stamp
+            # sorted blocks now
+            stamped_by_wave[wave] = stamped_refs
+            if n_admitted <= join_threshold:
+                # broadcast-fetch regime: assemble the admitted METADATA
+                # table once (required by the broadcast join anyway)
+                admitted = pa.concat_tables(
+                    ray.get(sorted_refs)).combine_chunks()
+                admitted_ds = None
+            else:
+                # join regime: admitted stays a Dataset end to end
+                admitted = None
+                admitted_ds = rd.from_arrow_refs(sorted_refs)
         t_admit = time.monotonic() - t_w
-        if admitted.num_rows == 0:
-            break
-        admitted_tables.append(admitted)
         t_w = time.monotonic()
-        fetched = _fetch_wave(pages_ds_factory, admitted, join_threshold,
-                              wave=wave)
+        # mid-wave-2 resume granularity: tickers whose facts partition
+        # already carries a _DONE marker (from a run killed mid-wave-2)
+        # are dropped BEFORE the fetch — only unfinished partitions
+        # refetch (finer than the all-or-nothing wave checkpoint)
+        skipped_pages = 0
+        if wave == 2 and checkpoint_dir:
+            from ..stages.sink import finished_partitions
+
+            facts_dir = os.path.join(checkpoint_dir, "wave2_facts_raw")
+            done_parts = finished_partitions(facts_dir, "ticker")
+            if done_parts and not os.path.exists(
+                    os.path.join(facts_dir, "_DONE")):
+                done_arr = pa.array(sorted(done_parts))
+                import pyarrow.compute as pc
+                if admitted is not None:
+                    keep = pc.invert(pc.is_in(admitted["ticker"],
+                                              value_set=done_arr))
+                    before = admitted.num_rows
+                    admitted = admitted.filter(keep)
+                    skipped_pages = before - admitted.num_rows
+                else:
+                    done_ref = ray.put(sorted(done_parts))
+
+                    def _drop_done(t: pa.Table) -> pa.Table:
+                        import pyarrow.compute as _pc
+
+                        dl = ray.get(done_ref) if isinstance(
+                            done_ref, ray.ObjectRef) else done_ref
+                        return t.filter(_pc.invert(_pc.is_in(
+                            t["ticker"], value_set=pa.array(dl))))
+
+                    admitted_ds = admitted_ds.map_batches(
+                        _drop_done, batch_format="pyarrow").materialize()
+                    skipped_pages = n_admitted - admitted_ds.count()
+        fetched = _fetch_wave(pages_ds_factory,
+                              admitted if admitted_ds is None else admitted_ds,
+                              join_threshold, wave=wave,
+                              num_rows=n_admitted - skipped_pages)
         if wave < 2:
             parsed = fetched.map_batches(_WAVE_PARSERS[wave], batch_format="pyarrow")
             if robots_gate is not None:
                 parsed = parsed.map_batches(robots_gate, batch_format="pyarrow")
-            candidates = _collect_table(parsed)
+            # next wave's candidates: materialized Dataset (object store) —
+            # decoupling the heavy fetch+parse map from the admission plan's
+            # two all-to-alls; fusing them into one streaming plan thrashes
+            # the executor's resource reservations (measured 3-5x wall time)
+            candidates = parsed.materialize()
         else:
             facts_raw = fetched.map_batches(extract_facts, batch_format="pyarrow")
             # Materialize the PARSED facts (one ~100-byte row per page — the
@@ -359,17 +451,25 @@ def crawl(
             # row per successfully fetched+parsed page; admitted urls absent
             # from the pages table are fetch failures (404s of the stand-in)
             pages_ok = facts_raw.count()
-            pages_err = int(admitted.num_rows) - pages_ok
+            pages_err = int(n_admitted - skipped_pages) - pages_ok
             if checkpoint_dir:
                 # wave-2 facts checkpoint: the compact parsed form (one
-                # ~100-byte row per page) lands as parquet so a resumed
-                # FINISHED run rebuilds filings_facts without refetching
+                # ~100-byte row per page) lands TICKER-PARTITIONED through
+                # the resumable sink (per-partition _DONE markers), so a run
+                # killed mid-wave-2 resumes at partition granularity instead
+                # of refetching the whole wave; the wave-level _DONE still
+                # marks full completion for the finished-run resume path
+                from ..stages.sink import write_partitioned
+
                 facts_dir = os.path.join(checkpoint_dir, "wave2_facts_raw")
                 if not os.path.exists(os.path.join(facts_dir, "_DONE")):
                     os.makedirs(facts_dir, exist_ok=True)
-                    facts_raw.write_parquet(facts_dir)
+                    write_partitioned(facts_raw, facts_dir, "ticker")
                     with open(os.path.join(facts_dir, "_DONE"), "w") as fh:
                         fh.write("")
+                # read back the FULL set (this run's partitions + any from
+                # the killed run) for the merge
+                facts_raw = rd.read_parquet(facts_dir)
             # coalesce the many small filtered blocks before the merge shuffle
             # (fewer shuffle tasks; row-preserving — at production block sizes
             # this is a no-op and can be disabled with merge_partitions=None)
@@ -391,18 +491,36 @@ def crawl(
         wave_timings[wave] = {
             "admit_s": round(t_admit, 3),
             "exec_s": round(time.monotonic() - t_w, 3),
-            "pages": int(admitted.num_rows),
+            "pages": int(n_admitted),
+            **({"pages_skipped": int(skipped_pages)} if skipped_pages else {}),
         }
         if wave == 2:
             wave_timings[wave]["pages_ok"] = int(pages_ok)
             wave_timings[wave]["pages_err"] = int(pages_err)
-        pages_fetched += admitted.num_rows
+        pages_fetched += n_admitted - skipped_pages
 
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
-            pq.write_table(admitted, os.path.join(checkpoint_dir, f"wave{wave}_admitted.parquet"))
+            # the stamped admitted metadata (seq / scheduled_at / wave) is
+            # the per-wave resume checkpoint; for distributed waves stamping
+            # ran concurrently with the fetch, so this get is usually free
+            if wave in stamped_by_wave:
+                admitted_stamped = pa.concat_tables(
+                    ray.get(stamped_by_wave[wave])).combine_chunks()
+            else:
+                admitted_stamped = admitted  # driver-path wave
+            pq.write_table(admitted_stamped,
+                           os.path.join(checkpoint_dir, f"wave{wave}_admitted.parquet"))
             if candidates is not None:
-                pq.write_table(candidates, os.path.join(checkpoint_dir, f"wave{wave}_next.parquet"))
+                # candidates are a Dataset: materialize once (the next wave
+                # reuses the blocks) and write the checkpoint distributed,
+                # never via a driver table
+                candidates = candidates.materialize()
+                nxt_dir = os.path.join(checkpoint_dir, f"wave{wave}_next.parquet")
+                if os.path.isdir(nxt_dir):
+                    import shutil
+                    shutil.rmtree(nxt_dir)
+                candidates.write_parquet(nxt_dir)
             frontier.checkpoint(checkpoint_dir)
             # per-partition fetch lineage snapshot (north rule): shard/wave
             # counters as parquet alongside the frontier state
@@ -415,20 +533,38 @@ def crawl(
             break
 
     order_cols = ["seq", "wave", "url", "url_sha1", "host", "scheduled_at"]
-    crawl_order = (
-        pa.concat_tables([t.select(order_cols) for t in admitted_tables])
-        if admitted_tables else pa.table({c: [] for c in order_cols})
-    )
+    n_order_rows = (sum(t.num_rows for t in admitted_tables)
+                    + sum(wave_timings[w]["pages"] for w in stamped_by_wave
+                          if w in wave_timings))
+    if collect_order:
+        # crawl order: resume-loaded waves (tables) + this run's stamped
+        # block refs. The column projection runs as block-parallel tasks so
+        # the driver collects ONLY the slim order columns, never the full
+        # admitted metadata a second time.
+        order_tables = [t.select(order_cols) for t in admitted_tables]
+        proj = ray.remote(lambda t: t.select(order_cols))
+        order_refs = [proj.remote(r) for w in sorted(stamped_by_wave)
+                      for r in stamped_by_wave[w]]
+        order_tables.extend(ray.get(order_refs))
+        crawl_order = (
+            pa.concat_tables(order_tables).combine_chunks()
+            if order_tables else pa.table({c: [] for c in order_cols})
+        )
+    else:
+        # production shape: the crawl order is never assembled on the
+        # driver — counts come from admission metadata; consumers write the
+        # stamped blocks as partitioned parquet instead (checkpoint path)
+        crawl_order = pa.table({c: [] for c in order_cols})
     lineage = frontier.lineage_table()
     elapsed = time.monotonic() - t0
     lrows = lineage.to_pylist() if lineage.num_rows else []
     urls_in = sum(r.get("urls_in") or 0 for r in lrows)
     dedup_hits = sum(r.get("dedup_hits") or 0 for r in lrows)
     metrics = {
-        "frontier_urls": int(crawl_order.num_rows),
+        "frontier_urls": int(n_order_rows),
         "pages_fetched": pages_fetched,
         "elapsed_sec": elapsed,
-        "urls_per_sec": crawl_order.num_rows / elapsed if elapsed > 0 else 0.0,
+        "urls_per_sec": n_order_rows / elapsed if elapsed > 0 else 0.0,
         "dedup_hits": dedup_hits,
         "dedup_hit_rate": dedup_hits / urls_in if urls_in else 0.0,
         "politeness_violations": sum(r.get("politeness_violations") or 0 for r in lrows),

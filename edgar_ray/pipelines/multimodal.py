@@ -234,3 +234,30 @@ def sample_frames(sf_dir: str, fps: float = 1.0):
         FrameSampler, fn_constructor_kwargs={"fps": fps},
         batch_format="pyarrow", batch_size=128, concurrency=(1, 8), num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable metadata projections: the binary columns (frame/payload)
+# are stub-codec output and stay rows-only; everything ELSE these stages
+# compute derives from doc_id arithmetic and is SQL-expressible, so the
+# driver can value-hash it against DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def frame_sample_meta(sf_dir: str, fps: float = 1.0):
+    """sample_frames minus the binary frame column: the frame schedule
+    (item_id, frame_idx, frame_ts_ms)."""
+    return sample_frames(sf_dir, fps=fps).map_batches(
+        lambda t: t.drop_columns(["frame"]), batch_format="pyarrow")
+
+
+def resize_meta(sf_dir: str, width: int = 224, height: int = 224):
+    """resize_images minus the binary payload: post-resize geometry."""
+    return resize_images(sf_dir, width=width, height=height).map_batches(
+        lambda t: t.drop_columns(["payload"]), batch_format="pyarrow")
+
+
+def features_meta(sf_dir: str, dim: int = 64):
+    """extract_features minus the stub feature vector: byte accounting."""
+    return extract_features(sf_dir, dim=dim).map_batches(
+        lambda t: t.drop_columns(["feature"]), batch_format="pyarrow")

@@ -53,8 +53,18 @@ def url_host(url: str) -> str:
     return urlsplit(url).netloc or ""
 
 
-def absolutize(href: str) -> str:
-    return href if href.startswith("http") else BASE_URL + href
+def absolutize(href: str, page_url: str | None = None) -> str:
+    """Resolve a relative href against the SOURCE PAGE's scheme+host (real
+    crawler semantics: a relative link on a mirror host stays on that host);
+    hrefs on the canonical single-host corpus resolve identically to the
+    reference's constant-prefix concat (/root/reference/page.go:13)."""
+    if href.startswith("http"):
+        return href
+    if page_url:
+        sp = urlsplit(page_url)
+        if sp.scheme and sp.netloc:
+            return f"{sp.scheme}://{sp.netloc}{href}"
+    return BASE_URL + href
 
 
 FRONTIER_COLS = [
@@ -155,7 +165,8 @@ def parse_query_pages(batch: pa.Table) -> pa.Table:
         links = query_page_parser(html, ft)
         for date, href in links.items():
             m = _RE_ACC.search(href)
-            rows["url"].append(absolutize(href.replace("&amp;", "&")))
+            rows["url"].append(absolutize(href.replace("&amp;", "&"),
+                                          cols["url"][i]))
             rows["depth"].append(1)
             rows["ticker"].append(cols["ticker"][i])
             # carry the seed-table CIK (zero-padded, the J1 broadcast lookup
@@ -181,7 +192,7 @@ def parse_index_pages(batch: pa.Table) -> pa.Table:
         docs = filing_page_parser(cols["html"][i], cols["filing_type"][i])
         for doc_type, href in docs.items():
             m = _RE_REPORT.search(href)
-            rows["url"].append(absolutize(href))
+            rows["url"].append(absolutize(href, cols["url"][i]))
             rows["depth"].append(2)
             rows["ticker"].append(cols["ticker"][i])
             rows["cik"].append(cols["cik"][i])

@@ -152,25 +152,32 @@ class FrontierShard:
             self._overflow_seen = self.filter.overflow
         return delta
 
-    def add_keys(self, h: np.ndarray, wave: int) -> np.ndarray:
-        """Dedup one wave's key slice (uint64 canonical-url hashes, already
-        in GLOBAL priority order — the driver sorts once and stable routing
-        preserves per-shard order, so the highest-priority copy of a
-        duplicate URL deterministically wins). Only 8 bytes/url cross the
-        wire each way; the fresh-mask reply is 1 byte/url."""
+    def add_keys(self, h: np.ndarray, wave: int, inwave_dups: int = 0,
+                 robots_blocked: int = 0) -> np.ndarray:
+        """Dedup one key slice (uint64 canonical-url hashes). Callers are
+        either the driver (legacy admit_wave: keys pre-sorted in global
+        priority order) or distributed bucket-admission tasks (admit_wave_ds:
+        keys already DISTINCT within the wave, so arrival order across
+        concurrent calls cannot change the outcome). Only 8 bytes/url cross
+        the wire each way; the fresh-mask reply is 1 byte/url.
+
+        ``inwave_dups`` / ``robots_blocked`` carry the counts a distributed
+        bucket task resolved locally (within-wave duplicate copies, robots
+        drops) so wave totals stay exact in the lineage."""
         fresh = self.filter.add_many(h) if len(h) else np.zeros(0, bool)
         n_fresh = int(fresh.sum())
         self.lineage.append(
             {
                 "shard": self.shard_id,
                 "wave": wave,
-                "urls_in": int(len(h)),
+                "urls_in": int(len(h)) + inwave_dups,
                 "admitted": n_fresh,
-                "dedup_hits": int(len(h)) - n_fresh - self._new_overflow(),
+                "dedup_hits": (int(len(h)) - n_fresh - self._new_overflow()
+                               + inwave_dups),
                 "seen_set_overflow": self._new_overflow(update=True),
                 "politeness_violations": 0,  # enforced by construction
                 "politeness_deferred": 0,  # accounted on the scheduler row
-                "robots_blocked": 0,  # accounted on the scheduler row
+                "robots_blocked": robots_blocked,
             }
         )
         return fresh
@@ -306,6 +313,99 @@ class Frontier:
         wave_col = pa.array(np.full(merged.num_rows, wave, dtype=np.int32))
         return merged.append_column("wave", wave_col)
 
+    def admit_wave_ds(self, cand_ds, wave: int, num_buckets: int = 64):
+        """Distributed admission (see module-tail comment block): candidates
+        arrive as a Dataset and stay distributed; the driver touches only
+        per-block (row-count, host-count) metadata. Returns
+        ``(stamped_block_refs, total_admitted)`` — block refs hold the
+        admitted metadata in global priority order with seq / scheduled_at /
+        wave stamped, ready to assemble (broadcast fetch) or wrap back into
+        a Dataset (hash-join fetch) without re-sorting.
+
+        Returns ``(stamped_refs, total_admitted, sorted_refs)``:
+        ``sorted_refs`` are the same blocks BEFORE seq/politeness stamping —
+        the fetch join only needs url keys + metadata, so the caller can
+        launch the fetch from these immediately while the stamping tasks
+        (which only add the crawl-order columns) run concurrently off the
+        critical path."""
+        # Coalesce fragmented candidate blocks first: parse stages emit one
+        # (mostly tiny) block per page block, and both all-to-alls pay a
+        # per-block constant that dwarfs the data at metadata sizes. 32
+        # blocks feeds 32 cores; at cluster scale this becomes ~2x total
+        # cores via the same call.
+        try:
+            nb = cand_ds.num_blocks()
+        except Exception:
+            nb = None
+        if nb is not None and nb > 32:
+            cand_ds = cand_ds.repartition(32)
+        rules_ref = ray.put(self.rules_by_len) if self.rules_by_len else None
+
+        def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if "robots_ok" not in t.column_names:
+                if rules_ref is not None:
+                    r = ray.get(rules_ref) if isinstance(
+                        rules_ref, ray.ObjectRef) else rules_ref
+                    urls = np.asarray(t["url"].to_pylist(), dtype=str)
+                    ok = (~robots_block_mask(urls, r) if len(urls)
+                          else np.zeros(0, dtype=bool))
+                else:
+                    ok = np.ones(t.num_rows, dtype=bool)
+                t = t.append_column("robots_ok", pa.array(ok))
+            t = _ensure_keys(t)
+            dd = pc.replace_substring(t["filed_date"], "-", "")
+            di = pc.cast(
+                pc.if_else(pc.equal(dd, pa.scalar("")), pa.scalar("-1"), dd),
+                pa.int64())
+            return t.append_column("_date_int", di)
+
+        from ..stages.bucketing import with_bucket
+
+        bucket_admit = _make_bucket_admit(self.shards, self.num_shards, wave)
+        admitted = (
+            cand_ds.map_batches(prep, batch_format="pyarrow")
+            .map_batches(
+                lambda t: with_bucket(t, ["url_canon_hash"], num_buckets),
+                batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_admit, batch_format="pyarrow")
+            .sort(["seed_rank", "filing_type", "_date_int", "report_num",
+                   "url_canon_hash"],
+                  descending=[False, False, True, False, False])
+            .materialize()
+        )
+        refs = admitted.to_arrow_refs()
+        summaries = ray.get([_block_summary.remote(r) for r in refs])
+        total = int(sum(n for n, _ in summaries))
+        if total == 0:
+            self._scheduler_lineage(wave, 0, 0)
+            return [], 0, []
+        step = 1.0 / self.host_budget
+        seq_off = self.next_seq
+        host_rank_cum: dict[str, int] = {}
+        stamped = []
+        for ref, (n, hc) in zip(refs, summaries):
+            if n == 0:
+                continue
+            hr0 = {h: host_rank_cum.get(h, 0) for h in hc}
+            slot0 = {h: self.host_next_slot.get(h, 0.0) for h in hc}
+            stamped.append(
+                _stamp_block.remote(ref, seq_off, wave, step, slot0, hr0))
+            for h, c in hc.items():
+                host_rank_cum[h] = host_rank_cum.get(h, 0) + c
+            seq_off += n
+        deferred = 0
+        budget_ceil = int(np.ceil(self.host_budget))
+        for h, c in host_rank_cum.items():
+            start = self.host_next_slot.get(h, 0.0)
+            self.host_next_slot[h] = float(start + step * c)
+            deferred += max(0, c - budget_ceil)
+        self.next_seq += total
+        self._scheduler_lineage(wave, deferred, 0)
+        return stamped, total, [r for r, (n, _) in zip(refs, summaries) if n]
+
     def _scheduler_lineage(self, wave: int, deferred: int,
                            robots_blocked: int) -> None:
         self.driver_lineage.append(
@@ -371,3 +471,148 @@ class Frontier:
                 )
             )
         ray.get(futs)
+
+
+# ---------------------------------------------------------------------------
+# Distributed admission: candidates stay a Dataset end to end; the driver
+# touches only per-block metadata (row counts + per-host counts), never the
+# candidate table itself. This replaces the driver-side collect + global
+# lexsort + politeness pass of `Frontier.admit_wave` with:
+#
+#   prep (map_batches: robots mask + numeric date key)
+#     -> hash-bucket shuffle on url_canon_hash
+#     -> per-bucket: in-wave first-wins dedup (vectorized) + cuckoo-shard
+#        RPCs issued FROM the bucket tasks (keys are distinct within the
+#        wave, so concurrent shard calls cannot change the outcome)
+#     -> distributed Dataset.sort on the priority columns
+#     -> two block-parallel stamping passes (the distributed bucket
+#        prefix-sum): pass 1 collects per-block host counts (tiny), the
+#        driver exclusive-scans seq offsets + per-host start ranks, pass 2
+#        stamps seq / scheduled_at / wave per block.
+#
+# The per-wave driver work is O(blocks x hosts-per-block) dict arithmetic —
+# independent of candidate count. At 10^10-URL scale the host dict itself
+# shards into per-host-range scheduler actors; the block prefix-sum is
+# unchanged.
+# ---------------------------------------------------------------------------
+
+_TIE_COLS = ("doc_type", "accession", "cik", "ticker", "url")
+
+
+def _local_priority_keys(t: pa.Table) -> list[np.ndarray]:
+    """Numeric lexsort keys replicating ``_priority_sort`` bucket-locally.
+    Strings factorize via np.unique — lexicographic ranks, so local
+    comparisons order exactly as the global sort does."""
+    rank = t["seed_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _, ft_key = np.unique(np.asarray(t["filing_type"].to_pylist(),
+                                     dtype=object), return_inverse=True)
+    date_int = t["_date_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+    repnum = t["report_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return [rank, ft_key.astype(np.int64), -date_int, repnum]
+
+
+def _make_bucket_admit(shards, num_shards: int, wave: int):
+    """Per-bucket admission task: robots drop -> in-wave first-wins dedup
+    (min full priority key per canonical hash; extra metadata tie-breaks
+    make the winner deterministic under any shuffle arrival order) ->
+    cross-wave cuckoo filter via shard RPCs (bare uint64 keys)."""
+    import pyarrow.compute as pc
+
+    def bucket_admit(t: pa.Table) -> pa.Table:
+        if "_bucket" in t.column_names:
+            t = t.drop_columns(["_bucket"])
+        ok = t["robots_ok"]
+        n_blocked = t.num_rows - int(pc.sum(ok).as_py() or 0)
+        t = t.filter(ok).drop_columns(["robots_ok"])
+        h = t["url_canon_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(h) == 0:
+            if n_blocked:
+                ray.get(shards[0].add_keys.remote(
+                    np.empty(0, np.uint64), wave, 0, n_blocked))
+            return t
+        keys = _local_priority_keys(t)
+        ties = []
+        for c in _TIE_COLS:
+            _, inv = np.unique(np.asarray(t[c].to_pylist(), dtype=object),
+                               return_inverse=True)
+            ties.append(inv.astype(np.int64))
+        # primary key (last in the lexsort tuple) = canonical hash, then the
+        # four priority components, then the metadata tie-breaks
+        order = np.lexsort(tuple(reversed(ties))
+                           + (keys[3], keys[2], keys[1], keys[0], h))
+        hs = h[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        winners = order[first]
+        inwave_dups = int(len(h) - len(winners))
+        wh = h[winners]
+        sid = (wh % np.uint64(num_shards)).astype(np.int64)
+        fresh = np.zeros(len(winners), dtype=bool)
+        futs, idxs = [], []
+        attached = False
+        for s in range(num_shards):
+            ix = np.nonzero(sid == s)[0]
+            if not len(ix):
+                continue
+            extra = (inwave_dups, n_blocked) if not attached else (0, 0)
+            attached = True
+            futs.append(shards[s].add_keys.remote(wh[ix], wave, *extra))
+            idxs.append(ix)
+        if not attached:
+            if inwave_dups or n_blocked:
+                ray.get(shards[0].add_keys.remote(
+                    np.empty(0, np.uint64), wave, inwave_dups, n_blocked))
+            return t.slice(0, 0)
+        for ix, m in zip(idxs, ray.get(futs)):
+            fresh[ix] = m
+        kept = winners[fresh]
+        return t.take(pa.array(np.sort(kept), pa.int64()))
+
+    return bucket_admit
+
+
+def _host_codes(tbl: pa.Table):
+    enc = pa.compute.dictionary_encode(tbl["host"])
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+        enc = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
+    names = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return names, codes
+
+
+@ray.remote
+def _block_summary(tbl: pa.Table):
+    """Pass 1 of the block prefix-sum: (num_rows, host -> count)."""
+    if tbl.num_rows == 0:
+        return 0, {}
+    names, codes = _host_codes(tbl)
+    counts = np.bincount(codes, minlength=len(names))
+    return tbl.num_rows, {h: int(c) for h, c in zip(names, counts)}
+
+
+@ray.remote
+def _stamp_block(tbl: pa.Table, seq_start: int, wave: int, step: float,
+                 host_slot0: dict, host_rank0: dict) -> pa.Table:
+    """Pass 2: stamp seq (block offset + arange) and scheduled_at
+    (host wave-start slot + step x global within-wave host rank)."""
+    if "_date_int" in tbl.column_names:
+        tbl = tbl.drop_columns(["_date_int"])
+    n = tbl.num_rows
+    if n == 0:
+        return (tbl.append_column("scheduled_at", pa.array([], pa.float64()))
+                   .append_column("seq", pa.array([], pa.int64()))
+                   .append_column("wave", pa.array([], pa.int32())))
+    names, codes = _host_codes(tbl)
+    order = np.argsort(codes, kind="stable")
+    cs = codes[order]
+    newg = np.r_[True, cs[1:] != cs[:-1]]
+    starts_i = np.nonzero(newg)[0]
+    local_rank = np.empty(n, dtype=np.int64)
+    local_rank[order] = np.arange(n) - starts_i[np.cumsum(newg) - 1]
+    slot0 = np.array([host_slot0.get(h, 0.0) for h in names])
+    rank0 = np.array([host_rank0.get(h, 0) for h in names], np.int64)
+    sched = slot0[codes] + step * (rank0[codes] + local_rank)
+    tbl = tbl.append_column("scheduled_at", pa.array(sched, pa.float64()))
+    tbl = tbl.append_column(
+        "seq", pa.array(np.arange(seq_start, seq_start + n, dtype=np.int64)))
+    return tbl.append_column("wave", pa.array(np.full(n, wave, np.int32)))

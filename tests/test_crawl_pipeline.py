@@ -234,3 +234,110 @@ def test_actor_pool_extract_variant(corpus, ray_session):
     actor_out = ds.to_pandas().sort_values("report_num").reset_index(drop=True)
     want = task_out.to_pandas().sort_values("report_num").reset_index(drop=True)
     assert actor_out.equals(want)
+
+
+def test_resume_mid_wave2_partition_granularity(corpus, tmp_path, ray_session):
+    """A run killed MID-wave-2 (some ticker facts partitions written with
+    _DONE, others missing, no wave-level _DONE / manifest entry) resumes by
+    refetching ONLY the unfinished partitions — and the merged facts still
+    match golden."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    seeds = pq.read_table(corpus["seed_tickers"])
+    # state as a kill mid-wave-2 leaves it: checkpoints (manifest, frontier,
+    # next-candidates) from the END OF WAVE 1, plus SOME completed ticker
+    # facts partitions (with their per-partition _DONE) and no wave-level
+    # _DONE. Build it from a stop-after-wave-1 run + partitions copied from
+    # a separate completed run.
+    ckpt = str(tmp_path / "ckpt_kill_w2")
+    crawl(corpus["pages"], seeds, num_shards=2, checkpoint_dir=ckpt,
+          stop_after_wave=1)
+    ckpt_full = str(tmp_path / "ckpt_full_w2")
+    first = crawl(corpus["pages"], seeds, num_shards=2,
+                  checkpoint_dir=ckpt_full)
+    total_w2 = first.metrics["wave_timings"][2]["pages"]
+    src = _os.path.join(ckpt_full, "wave2_facts_raw")
+    facts_dir = _os.path.join(ckpt, "wave2_facts_raw")
+    _os.makedirs(facts_dir, exist_ok=True)
+    parts = sorted(p for p in _os.listdir(src) if p.startswith("ticker="))
+    done_half = parts[len(parts) // 2:]
+    for p in done_half:
+        _shutil.copytree(_os.path.join(src, p), _os.path.join(facts_dir, p))
+
+    resumed = crawl(corpus["pages"], seeds, num_shards=2,
+                    checkpoint_dir=ckpt, resume=True)
+    w2 = resumed.metrics["wave_timings"][2]
+    # only the killed partitions' pages were refetched
+    assert w2["pages_skipped"] > 0
+    assert resumed.metrics["pages_fetched"] == total_w2 - w2["pages_skipped"]
+    assert w2["pages_ok"] == total_w2 - w2["pages_skipped"]
+    facts = resumed.filings_facts.to_pandas().sort_values(
+        "accession").reset_index(drop=True)
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == len(gold)
+    for c in ("ops_Revenue", "bs_Assets", "validation_error"):
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+
+
+def test_multi_host_politeness_e2e(corpus, ray_session):
+    """End-to-end host-global politeness across MULTIPLE hosts: odd-rank
+    tickers' filing pages live on a mirror host (their query pages link
+    absolutely to it; relative links on mirror pages resolve to the mirror
+    via page-host absolutize). Asserts the per-host budget bites on BOTH
+    hosts and facts still match golden."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa_
+    import ray.data as rd
+
+    MIRROR = "https://mirror.sec.gov"
+    full = pq.read_table(corpus["pages"])
+    seeds = pq.read_table(corpus["seed_tickers"])
+    odd_ciks = {int(c) for c, r in zip(seeds["cik"].to_pylist(),
+                                       seeds["seed_rank"].to_pylist())
+                if r % 2 == 1}
+    odd_tickers = {t for t, r in zip(seeds["ticker"].to_pylist(),
+                                     seeds["seed_rank"].to_pylist())
+                   if r % 2 == 1}
+    urls, htmls = [], []
+    for url, html in zip(full["url"].to_pylist(), full["html"].to_pylist()):
+        h = html.decode() if isinstance(html, bytes) else html
+        m = (_re.search(r"[?&]cik=(\d+)", url)
+             or _re.search(r"/data/(\d+)/", url))
+        if m and int(m.group(1)) in odd_ciks:
+            url = url.replace("https://www.sec.gov", MIRROR)
+        qm = _re.search(r"CIK=(SYN\d+)", url)
+        if qm and qm.group(1) in odd_tickers:
+            h = h.replace('href="/cgi-bin/viewer',
+                          f'href="{MIRROR}/cgi-bin/viewer')
+        urls.append(url)
+        htmls.append(h.encode())
+    pages = pa_.table({"url": pa_.array(urls), "html": pa_.array(htmls, pa_.binary())})
+
+    budget = 10.0
+    res = crawl(None, seeds, pages_ds_factory=lambda: rd.from_arrow(pages),
+                num_shards=2, host_budget=budget)
+    order = res.crawl_order
+    hosts = set(order["host"].to_pylist())
+    assert hosts == {"www.sec.gov", "mirror.sec.gov"}  # mirror really crawled
+    # host-global spacing: each host's scheduled_at slots are >= 1/budget
+    # apart across the WHOLE crawl (budget carried across waves)
+    for host in hosts:
+        sched = np.sort(np.asarray(
+            [s for s, h in zip(order["scheduled_at"].to_pylist(),
+                               order["host"].to_pylist()) if h == host]))
+        assert len(sched) > int(budget)  # enough urls that the budget bites
+        gaps = np.diff(sched)
+        assert (gaps >= (1.0 / budget) - 1e-9).all()
+    # facts unchanged by the host split
+    facts = res.filings_facts.to_pandas().sort_values(
+        "accession").reset_index(drop=True)
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == len(gold)
+    for c in ("ops_Revenue", "bs_Assets", "validation_error"):
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
