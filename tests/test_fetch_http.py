@@ -1,0 +1,93 @@
+"""Live-HTTP fetch stage: retries with backoff, error rows survive as data,
+politeness enforced AT the fetcher, and the full crawl runs over an
+injected transport with results equal to the parquet-join path."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from edgar_ray.pipelines.crawl import crawl
+from edgar_ray.sources.synth import write_corpus
+from edgar_ray.stages.fetch_http import (
+    DictTransport as FlakyTransport,
+    FakeClock,
+    HttpFetcher,
+    fetch_live,
+)
+
+
+
+
+def test_fetcher_retries_and_error_rows(ray_session):
+    pages = {f"https://h/x{i}": f"body{i}".encode() for i in range(6)}
+    clock = FakeClock()
+    transport = FlakyTransport(
+        pages, fail_n={"https://h/x1": 2, "https://h/x2": 99}, clock=clock)
+    t = pa.table({
+        "url": pa.array(sorted(pages)),
+        "scheduled_at": pa.array([0.0] * 6, pa.float64()),
+    })
+    f = HttpFetcher(transport=transport, clock=clock, max_retries=3,
+                    backoff_s=0.1)
+    out = f(t)
+    by_url = {u: (s, a) for u, s, a in zip(out["url"].to_pylist(),
+                                           out["fetch_status"].to_pylist(),
+                                           out["fetch_attempts"].to_pylist())}
+    assert by_url["https://h/x0"] == ("ok", 1)
+    assert by_url["https://h/x1"] == ("ok", 3)       # 2 transient failures
+    assert by_url["https://h/x2"][0] == "error"      # permanent failure
+    assert by_url["https://h/x2"][1] == 4            # 1 + max_retries
+    ok_html = dict(zip(out["url"].to_pylist(), out["html"].to_pylist()))
+    assert ok_html["https://h/x1"] == b"body1"
+    assert ok_html["https://h/x2"] == b""
+
+
+def test_fetcher_enforces_politeness(ray_session):
+    clock = FakeClock()
+    pages = {f"https://h/p{i}": b"x" for i in range(20)}
+    transport = FlakyTransport(pages, clock=clock)
+    urls = sorted(pages)
+    sched = [i * 0.5 for i in range(20)]  # 2 rps budget slots
+    t = pa.table({"url": pa.array(urls),
+                  "scheduled_at": pa.array(sched, pa.float64())})
+    HttpFetcher(transport=transport, clock=clock)(t)
+    at = dict(clock.fetch_log)
+    for u, s in zip(urls, sched):
+        assert at[u] >= s - 1e-9  # never fetched before its slot
+
+
+def test_transport_required():
+    with pytest.raises(NotImplementedError):
+        HttpFetcher()  # no network in this environment: must inject
+
+
+@pytest.fixture(scope="module")
+def live_corpus(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("live_corpus"))
+    return write_corpus(out, 3, 2)
+
+
+def test_crawl_over_live_transport(live_corpus, ray_session):
+    """Full 3-wave crawl over the injected transport equals the parquet-join
+    path: same crawl order vs golden, same facts."""
+    full = pq.read_table(live_corpus["pages"])
+    pages = {u: (h if isinstance(h, bytes) else h.encode())
+             for u, h in zip(full["url"].to_pylist(),
+                             full["html"].to_pylist())}
+    clock = FakeClock()
+    transport = FlakyTransport(pages, clock=clock)
+    seeds = pq.read_table(live_corpus["seed_tickers"])
+    res = crawl(None, seeds, num_shards=2, host_budget=1000.0,
+                live_transport=transport, live_clock=clock)
+    golden = pq.read_table(live_corpus["crawl_order_golden"])
+    got = res.crawl_order.sort_by([("seq", "ascending")])
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    facts = res.filings_facts.to_pandas().sort_values(
+        "accession").reset_index(drop=True)
+    gold = pq.read_table(live_corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == len(gold)
+    for c in ("ops_Revenue", "bs_Assets", "validation_error"):
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
