@@ -61,7 +61,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from edgar_ray.pipelines import (
-        dedup, multimodal, relational, similarity, text, windows)
+        dedup, multimodal, relational, sampling, similarity, text, windows)
 
     def crawl_facts(sf):
         import pyarrow.parquet as pq
@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_filter": text.quality_filter,
         "text_langid": text.langid,
         "text_fingerprint": text.fingerprints,
+        # dataset curation (split / sample / profile / leakage)
+        "curation_train_test_split": sampling.train_test_split,
+        "curation_sample_stratified": sampling.sample_stratified,
+        "curation_length_buckets": sampling.length_buckets,
+        "curation_contamination": sampling.contamination_summary,
         # multimodal plumbing
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_features": multimodal.extract_features,
@@ -466,6 +471,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_payload_stats": """
             SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
+        """,
+        "curation_train_test_split": """
+            SELECT doc_id, source,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "curation_sample_stratified": """
+            SELECT source, count(*) AS n_total,
+                   CAST(sum(CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+            FROM documents GROUP BY source
+        """,
+        "curation_length_buckets": """
+            SELECT source, octet_length(encode(text)) // 256 AS bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+            FROM documents GROUP BY source, bucket
+        """,
+        "curation_contamination": """
+            WITH h AS (SELECT source, md5(text) AS ch FROM documents),
+            x AS (SELECT ch FROM h GROUP BY ch
+                  HAVING count(DISTINCT source) > 1)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN ch IN (SELECT ch FROM x)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+            FROM h GROUP BY source
         """,
         "multimodal_frame_meta": """
             WITH v AS (

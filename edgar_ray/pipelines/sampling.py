@@ -1,0 +1,236 @@
+"""Dataset curation operators a training-data pipeline needs around dedup:
+deterministic train/test splitting, stratified sampling, length profiling
+and cross-source exact contamination — each a streaming map / bucketed
+reduce with an exact DuckDB oracle.
+
+Hash parity contract: ``_md5_low64(s)`` equals DuckDB's
+``md5_number_lower(s)`` (little-endian low 8 digest bytes), so the split /
+sample predicates are bit-identical between the Ray path and the SQL
+oracle — the property that makes a REPRODUCIBLE split: membership depends
+only on the key, never on partitioning, ordering or cluster size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..stages.bucketing import grouped_apply, segment_sort
+
+NUM_BUCKETS = 64
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def _md5_low64(values) -> np.ndarray:
+    """uint64 per value: little-endian low 8 bytes of md5(str(v)) —
+    DuckDB ``md5_number_lower`` parity."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16],
+                        "little") for v in values),
+        dtype=np.uint64, count=len(values))
+
+
+def train_test_split(sf_dir: str, test_pct: int = 10):
+    """Deterministic hash split: doc -> 'test' iff
+    md5_low64(doc_id) % 100 < test_pct, else 'train'. Stable under any
+    re-partitioning / re-run — the reproducibility property a training
+    pipeline needs from its split."""
+    def tag(t: pa.Table) -> pa.Table:
+        h = _md5_low64(t["doc_id"].to_pylist()) % np.uint64(100)
+        split = np.where(h < test_pct, "test", "train")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        tag, batch_format="pyarrow")
+
+
+def sample_stratified(sf_dir: str, mod: int = 10):
+    """Per-source deterministic sampling accounting: n_total and n_sampled
+    (docs whose md5_low64(doc_id) % mod == 0) per source. The sample is a
+    fixed ~1/mod rate in every stratum without a shuffle or an RNG."""
+    def partial(t: pa.Table) -> pa.Table:
+        h = _md5_low64(t["doc_id"].to_pylist()) % np.uint64(mod)
+        sampled = (h == 0).astype(np.int64)
+        return pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "sampled": pa.array(sampled),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (_docs(sf_dir, ["doc_id", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("one", alias_name="n_total"),
+                      Sum("sampled", alias_name="n_sampled")))
+    return agg.map_batches(
+        lambda t: t.select(["source", "n_total", "n_sampled"]),
+        batch_format="pyarrow")
+
+
+def length_buckets(sf_dir: str, width: int = 256):
+    """Length profile: (source, bucket) -> doc count + total bytes, with
+    bucket = utf8_bytes // width (exact integer arithmetic — no float
+    binning to diverge from the oracle). Pre-aggregated per batch before
+    the small groupby shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        nb = pc.binary_length(pc.cast(t["text"], pa.binary())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bucket = nb // width
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        order, starts = segment_sort(
+            np.unique(src, return_inverse=True)[1].astype(np.int64), bucket)
+        sb, bb, nbs = src[order], bucket[order], nb[order]
+        ends = np.r_[starts[1:], len(order)]
+        csum = np.r_[0, np.cumsum(nbs)]
+        return pa.table({
+            "source": pa.array(sb[starts].tolist(), pa.string()),
+            "bucket": pa.array(bb[starts], pa.int64()),
+            "n_docs": pa.array(ends - starts, pa.int64()),
+            "sum_bytes": pa.array(csum[ends] - csum[starts], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (_docs(sf_dir, ["text", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "bucket"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_bytes", alias_name="sum_bytes")))
+    return agg.map_batches(
+        lambda t: t.select(["source", "bucket", "n_docs", "sum_bytes"]),
+        batch_format="pyarrow")
+
+
+def cross_source_contamination(sf_dir: str):
+    """Exact contamination check across sources: content hashes (md5 of the
+    utf-8 text) that appear in MORE THAN ONE source, with how many sources
+    and docs carry them. The train/eval-leakage primitive: any hash shared
+    between a training source and an eval source is a leak.
+
+    Shape: per-batch md5 map -> bucketed shuffle on the hash -> one
+    vectorized pass per bucket (factorize + segment count-distinct)."""
+    def hash_map(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"content_hash": pa.array(hs, pa.string()),
+                         "source": t["source"]})
+
+    def bucket_count(t: pa.Table) -> pa.Table:
+        if "_bucket" in t.column_names:
+            t = t.drop_columns(["_bucket"])
+        if t.num_rows == 0:
+            return pa.table({"content_hash": pa.array([], pa.string()),
+                             "n_sources": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        h = np.asarray(t["content_hash"].to_pylist(), dtype=object)
+        s = np.asarray(t["source"].to_pylist(), dtype=object)
+        _, hc = np.unique(h, return_inverse=True)
+        _, sc = np.unique(s, return_inverse=True)
+        order, starts = segment_sort(hc.astype(np.int64), sc.astype(np.int64))
+        ends = np.r_[starts[1:], len(order)]
+        # rows sorted by (hash, source): distinct sources per hash = number
+        # of (hash, source) boundary starts within each hash segment
+        hs_sorted = hc[order]
+        sc_sorted = sc[order]
+        pair_start = np.r_[True, (hs_sorted[1:] != hs_sorted[:-1])
+                           | (sc_sorted[1:] != sc_sorted[:-1])]
+        hash_start = np.r_[True, hs_sorted[1:] != hs_sorted[:-1]]
+        hstarts = np.nonzero(hash_start)[0]
+        hends = np.r_[hstarts[1:], len(order)]
+        cps = np.cumsum(pair_start)
+        n_sources = cps[hends - 1] - np.r_[0, cps[hstarts[1:] - 1]]
+        n_docs = hends - hstarts
+        keep = n_sources > 1
+        return pa.table({
+            "content_hash": pa.array(h[order][hstarts][keep].tolist(),
+                                     pa.string()),
+            "n_sources": pa.array(n_sources[keep], pa.int64()),
+            "n_docs": pa.array(n_docs[keep], pa.int64()),
+        })
+
+    mapped = _docs(sf_dir, ["text", "source"]).map_batches(
+        hash_map, batch_format="pyarrow")
+    return grouped_apply(mapped, ["content_hash"], bucket_count, NUM_BUCKETS)
+
+
+def contamination_summary(sf_dir: str):
+    """Per-source leakage summary: (source, n_docs, n_contaminated) where
+    n_contaminated counts docs whose exact content hash also appears in a
+    DIFFERENT source. Non-empty on any corpus (one row per source), so it
+    oracle-checks even when the corpus is clean; the hash-level detail is
+    :func:`cross_source_contamination` (planted-duplicate tested — Ray's
+    ``to_pandas`` drops the schema of an all-empty Dataset, so an
+    empty-by-construction result cannot be the oracle-checked surface).
+
+    Same bucketed shape: hashes meet in buckets; each bucket emits partial
+    per-source (docs, contaminated) counts; a tiny groupby(source) sums."""
+    def hash_map(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"content_hash": pa.array(hs, pa.string()),
+                         "source": t["source"]})
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        if "_bucket" in t.column_names:
+            t = t.drop_columns(["_bucket"])
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_contaminated": pa.array([], pa.int64())})
+        h = np.asarray(t["content_hash"].to_pylist(), dtype=object)
+        s = np.asarray(t["source"].to_pylist(), dtype=object)
+        _, hc = np.unique(h, return_inverse=True)
+        _, sc = np.unique(s, return_inverse=True)
+        # contaminated hash = >1 distinct source for that hash: sort rows by
+        # (hash, source); distinct sources per hash segment = number of
+        # (hash, source) boundaries inside it
+        order = np.lexsort((sc, hc))
+        hs_sorted, sc_sorted = hc[order], sc[order]
+        hash_start = np.r_[True, hs_sorted[1:] != hs_sorted[:-1]]
+        pair_start = np.r_[True, (hs_sorted[1:] != hs_sorted[:-1])
+                           | (sc_sorted[1:] != sc_sorted[:-1])]
+        hstarts = np.nonzero(hash_start)[0]
+        hends = np.r_[hstarts[1:], len(order)]
+        cps = np.cumsum(pair_start)
+        n_src = cps[hends - 1] - np.r_[0, cps[hstarts[1:] - 1]]
+        contam_hash = np.zeros(int(hc.max()) + 1, dtype=bool)
+        contam_hash[hs_sorted[hstarts]] = n_src > 1
+        row_contam = contam_hash[hc].astype(np.int64)
+        # per-source partial sums
+        so, s_starts = segment_sort(sc.astype(np.int64))
+        s_ends = np.r_[s_starts[1:], len(so)]
+        ccum = np.r_[0, np.cumsum(row_contam[so])]
+        return pa.table({
+            "source": pa.array(s[so][s_starts].tolist(), pa.string()),
+            "n_docs": pa.array(s_ends - s_starts, pa.int64()),
+            "n_contaminated": pa.array(ccum[s_ends] - ccum[s_starts],
+                                       pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    mapped = _docs(sf_dir, ["text", "source"]).map_batches(
+        hash_map, batch_format="pyarrow")
+    partials = grouped_apply(mapped, ["content_hash"], bucket_partial,
+                             NUM_BUCKETS)
+    agg = partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_contaminated", alias_name="n_contaminated"))
+    return agg.map_batches(
+        lambda t: t.select(["source", "n_docs", "n_contaminated"]),
+        batch_format="pyarrow")

@@ -135,10 +135,17 @@ class LangId:
               "durante estos mucho antes",
     }
 
+    _V = 27 ** 3  # trigram code space: letters mapped to 0..25, base 27
+
     def __init__(self):
         self.word = re.compile(r"[a-z]+")
         self.profiles = {}
-        for lang, toks in self.PROFILES.items():
+        self.langs = list(self.PROFILES)
+        # dense per-language profile vectors over the trigram-code space —
+        # built once per actor; per-batch scoring is then one gather + one
+        # segment-reduce instead of a Python dict walk per document
+        self.prof_dense = np.zeros((len(self.langs), self._V))
+        for li, (lang, toks) in enumerate(self.PROFILES.items()):
             grams: dict[str, float] = {}
             for tk in toks.split():
                 for i in range(len(tk) - 2):
@@ -146,6 +153,10 @@ class LangId:
                     grams[g] = grams.get(g, 0.0) + 1.0
             norm = np.sqrt(sum(v * v for v in grams.values()))
             self.profiles[lang] = {g: v / norm for g, v in grams.items()}
+            for g, v in self.profiles[lang].items():
+                code = ((ord(g[0]) - 97) * 729 + (ord(g[1]) - 97) * 27
+                        + (ord(g[2]) - 97))
+                self.prof_dense[li, code] = v
 
     def classify(self, text: str) -> str:
         text = " ".join(self.word.findall(text.lower()))
@@ -165,8 +176,64 @@ class LangId:
                 best, best_s = lang, s
         return best if best_s > 0.05 else "und"
 
+    def classify_batch(self, texts: list[str]) -> list[str]:
+        """Vectorized batch classification, output-identical to
+        :meth:`classify` per doc: one byte pass over the concatenated batch
+        computes per-doc normalized length, per-(doc, trigram) counts
+        (np.unique over composite int keys), doc norms and all language
+        dot-products via segment reduces — no per-document Python loop."""
+        n = len(texts)
+        if n == 0:
+            return []
+        blobs = [s.encode("utf-8", "ignore") for s in texts]
+        sep = b"\x00"
+        data = np.frombuffer(sep.join(blobs) + sep, dtype=np.uint8)
+        lengths = np.array([len(b) for b in blobs], dtype=np.int64)
+        ends = np.cumsum(lengths + 1)  # position of each doc's separator
+        # lowercase + letter mask (ASCII; multi-byte utf-8 bytes are
+        # non-letters, exactly like the regex [a-z]+ on the decoded string
+        # treats non-ascii chars as separators)
+        lower = np.where((data >= 65) & (data <= 90), data + 32, data)
+        letter = (lower >= 97) & (lower <= 122)
+        pos = np.arange(len(data), dtype=np.int64)
+        doc_of = np.searchsorted(ends, pos, side="right")
+        # normalized length = letters + (runs - 1) single-space gaps
+        letters_per_doc = np.bincount(doc_of[letter], minlength=n)
+        run_start = letter & np.r_[True, ~letter[:-1]]
+        runs_per_doc = np.bincount(doc_of[run_start], minlength=n)
+        norm_len = letters_per_doc + np.maximum(runs_per_doc - 1, 0)
+        # trigram codes at every position whose 3 bytes are letters (word
+        # boundaries/doc separators are non-letters and break the window)
+        tri_ok = letter[:-2] & letter[1:-1] & letter[2:]
+        ti = np.nonzero(tri_ok)[0]
+        out = np.full(n, "und", dtype=object)
+        if len(ti):
+            l0 = (lower[ti] - 97).astype(np.int64)
+            l1 = (lower[ti + 1] - 97).astype(np.int64)
+            l2 = (lower[ti + 2] - 97).astype(np.int64)
+            code = l0 * 729 + l1 * 27 + l2
+            key = doc_of[ti] * np.int64(self._V) + code
+            uk, cnt = np.unique(key, return_counts=True)
+            kdoc = uk // self._V
+            kgram = uk % self._V
+            cntf = cnt.astype(np.float64)
+            starts = np.nonzero(np.r_[True, kdoc[1:] != kdoc[:-1]])[0]
+            seg_docs = kdoc[starts]
+            norms = np.sqrt(np.add.reduceat(cntf * cntf, starts))
+            norms[norms == 0] = 1.0
+            scores = np.empty((len(self.langs), len(starts)))
+            for li in range(len(self.langs)):
+                scores[li] = np.add.reduceat(
+                    cntf * self.prof_dense[li, kgram], starts) / norms
+            best = np.argmax(scores, axis=0)
+            best_s = scores[best, np.arange(len(starts))]
+            ok = (best_s > 0.05) & (norm_len[seg_docs] >= 20)
+            lang_arr = np.asarray(self.langs, dtype=object)
+            out[seg_docs[ok]] = lang_arr[best[ok]]
+        return out.tolist()
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        langs = [self.classify(s) for s in t["text"].to_pylist()]
+        langs = self.classify_batch(t["text"].to_pylist())
         return pa.table({"doc_id": t["doc_id"],
                          "lang_pred": pa.array(langs, pa.string()),
                          "lang": t["lang"]})

@@ -279,3 +279,90 @@ def test_ngram_degenerate_guard(degenerate_dir, ray_session):
     assert (0, 1) in pairs
     flat = {i for p in pairs for i in p}
     assert flat <= {0, 1}
+
+
+def test_langid_vectorized_equals_scalar(ray_session):
+    """classify_batch (one numpy pass per batch) is output-identical to the
+    per-doc classify reference implementation."""
+    from edgar_ray.pipelines.text import LangId
+
+    li = LangId()
+    rng = np.random.default_rng(5)
+    samples = [
+        "", "ab", "the quick brown fox jumps over the lazy dog",
+        "Der schnelle braune Fuchs springt über den faulen Hund", 
+        "le renard brun rapide saute par dessus le chien paresseux",
+        "ab ab ab ab ab ab ab ab ab ab ab",   # long but trigram-free
+        "x" * 19, "x" * 25, "123 456 789 !!!",
+        "Ünïcödé tëxt wîth áccents and the usual english words here",
+    ]
+    words = "the and that with der die und les des que los".split()
+    for _ in range(100):
+        k = int(rng.integers(3, 40))
+        samples.append(" ".join(rng.choice(words, size=k).tolist()))
+    assert li.classify_batch(samples) == [li.classify(s) for s in samples]
+
+
+@pytest.fixture(scope="module")
+def contaminated_dir(tmp_path_factory, ray_session):
+    """documents.parquet with planted CROSS-SOURCE exact duplicates:
+    text 'shared-A' in 3 sources (5 docs), 'shared-B' in 2 sources, and
+    within-source-only dups that must NOT be flagged."""
+    out = tmp_path_factory.mktemp("contam")
+    rows = [
+        (0, "shared A text body", "web"),
+        (1, "shared A text body", "books"),
+        (2, "shared A text body", "wiki"),
+        (3, "shared A text body", "web"),      # extra copy, same source
+        (4, "shared A text body", "books"),
+        (5, "shared B text body", "web"),
+        (6, "shared B text body", "wiki"),
+        (7, "within only", "web"),
+        (8, "within only", "web"),             # same-source dup: not flagged
+        (9, "unique doc", "books"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(str(out), "documents.parquet"))
+    return str(out)
+
+
+def test_cross_source_contamination_planted(contaminated_dir, ray_session):
+    import hashlib
+
+    from edgar_ray.pipelines.sampling import cross_source_contamination
+
+    got = {r["content_hash"]: (r["n_sources"], r["n_docs"])
+           for r in cross_source_contamination(contaminated_dir).take_all()}
+    ha = hashlib.md5(b"shared A text body").hexdigest()
+    hb = hashlib.md5(b"shared B text body").hexdigest()
+    assert got[ha] == (3, 5)
+    assert got[hb] == (2, 2)
+    assert len(got) == 2  # within-source dups and uniques never flagged
+
+
+def test_train_test_split_reproducible(ray_session):
+    """Split membership depends only on doc_id — identical across runs and
+    close to the requested rate."""
+    from edgar_ray.pipelines.sampling import train_test_split
+
+    sf = "/root/testdata/sf0.01"
+    a = {r["doc_id"]: r["split"] for r in train_test_split(sf).take_all()}
+    b = {r["doc_id"]: r["split"] for r in train_test_split(sf).take_all()}
+    assert a == b
+    rate = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.03 < rate < 0.2  # ~10% with small-sample noise
+
+
+def test_contamination_summary_planted(contaminated_dir, ray_session):
+    from edgar_ray.pipelines.sampling import contamination_summary
+
+    got = {r["source"]: (r["n_docs"], r["n_contaminated"])
+           for r in contamination_summary(contaminated_dir).take_all()}
+    # shared-A: web x2 + books x2 + wiki x1; shared-B: web + wiki
+    assert got["web"] == (5, 3)    # 2 A-copies + 1 B-copy; within-dups not
+    assert got["books"] == (3, 2)  # 2 A-copies; unique doc clean
+    assert got["wiki"] == (2, 2)   # 1 A + 1 B
