@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         "dedup_clusters": dedup.dedup_connected_components,
+        # same CC operator over the SQL-expressible capped embedding edge
+        # set -> oracle-verified via a DuckDB recursive-CTE closure
+        "dedup_clusters_embedding": lambda sf: dedup.dedup_connected_components(
+            sf, pair_fn=dedup.dedup_embedding_cosine),
         # similarity search
         "similarity_knn_brute": similarity.knn_brute,
         "similarity_knn_batch": similarity.knn_batch,
@@ -471,6 +475,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_payload_stats": """
             SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
+        """,
+        "dedup_clusters_embedding": """
+            WITH RECURSIVE e AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 512 AND b.vec_id < 512
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+            sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+            reach(src, dst) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u)
+            SELECT src AS node, least(src, min(dst)) AS label
+            FROM reach GROUP BY src
         """,
         "curation_train_test_split": """
             SELECT doc_id, source,

@@ -532,7 +532,8 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4, nbits: int = 8,
 # ---------------------------------------------------------------------------
 
 
-def dedup_connected_components(sf_dir: str, max_iters: int = 10):
+def dedup_connected_components(sf_dir: str, max_iters: int = 10,
+                               pair_fn=None):
     """Cluster near-duplicate pairs into components via ITERATIVE min-label
     propagation expressed in Dataset ops: each round hash-joins the
     (symmetric) edge list against current labels, takes the per-node min of
@@ -547,7 +548,10 @@ def dedup_connected_components(sf_dir: str, max_iters: int = 10):
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
-    pairs = dedup_minhash_lsh(sf_dir)
+    # default edge source: MinHash near-dup pairs; pass
+    # pair_fn=dedup_embedding_cosine for the SQL-checkable edge set (that
+    # variant is oracle-verified against a DuckDB recursive-CTE closure)
+    pairs = (pair_fn or dedup_minhash_lsh)(sf_dir)
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
