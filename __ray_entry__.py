@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_sample_stratified": sampling.sample_stratified,
         "curation_length_buckets": sampling.length_buckets,
         "curation_contamination": sampling.contamination_summary,
+        "curation_dedup_rate": sampling.dedup_rate,
         # multimodal plumbing
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_features": multimodal.extract_features,
@@ -507,6 +508,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
             FROM documents GROUP BY source, bucket
+        """,
+        "curation_dedup_rate": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+            FROM documents GROUP BY source
         """,
         "curation_contamination": """
             WITH h AS (SELECT source, md5(text) AS ch FROM documents),

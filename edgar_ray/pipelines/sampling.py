@@ -234,3 +234,54 @@ def contamination_summary(sf_dir: str):
     return agg.map_batches(
         lambda t: t.select(["source", "n_docs", "n_contaminated"]),
         batch_format="pyarrow")
+
+
+def dedup_rate(sf_dir: str):
+    """Per-source duplication profile: (source, n_docs, n_distinct) with
+    n_distinct = distinct content hashes — the pre-dedup corpus audit that
+    sizes how much exact dedup will remove. Bucketed on the hash so each
+    distinct hash is counted exactly once even when its copies span blocks."""
+    def hash_map(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"content_hash": pa.array(hs, pa.string()),
+                         "source": t["source"]})
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        if "_bucket" in t.column_names:
+            t = t.drop_columns(["_bucket"])
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64())})
+        h = np.asarray(t["content_hash"].to_pylist(), dtype=object)
+        s = np.asarray(t["source"].to_pylist(), dtype=object)
+        _, hc = np.unique(h, return_inverse=True)
+        _, sc = np.unique(s, return_inverse=True)
+        # per (source): docs; distinct = first occurrence of (source, hash)
+        order = np.lexsort((hc, sc))
+        ss, hh = sc[order], hc[order]
+        first_pair = np.r_[True, (ss[1:] != ss[:-1]) | (hh[1:] != hh[:-1])]
+        src_start = np.r_[True, ss[1:] != ss[:-1]]
+        starts = np.nonzero(src_start)[0]
+        ends = np.r_[starts[1:], len(order)]
+        cfp = np.cumsum(first_pair)
+        n_distinct = cfp[ends - 1] - np.r_[0, cfp[starts[1:] - 1]]
+        return pa.table({
+            "source": pa.array(s[order][starts].tolist(), pa.string()),
+            "n_docs": pa.array(ends - starts, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    mapped = _docs(sf_dir, ["text", "source"]).map_batches(
+        hash_map, batch_format="pyarrow")
+    partials = grouped_apply(mapped, ["content_hash"], bucket_partial,
+                             NUM_BUCKETS)
+    agg = partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_distinct", alias_name="n_distinct"))
+    return agg.map_batches(
+        lambda t: t.select(["source", "n_docs", "n_distinct"]),
+        batch_format="pyarrow")

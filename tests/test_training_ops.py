@@ -366,3 +366,14 @@ def test_contamination_summary_planted(contaminated_dir, ray_session):
     assert got["web"] == (5, 3)    # 2 A-copies + 1 B-copy; within-dups not
     assert got["books"] == (3, 2)  # 2 A-copies; unique doc clean
     assert got["wiki"] == (2, 2)   # 1 A + 1 B
+
+
+def test_dedup_rate_planted(contaminated_dir, ray_session):
+    from edgar_ray.pipelines.sampling import dedup_rate
+
+    got = {r["source"]: (r["n_docs"], r["n_distinct"])
+           for r in dedup_rate(contaminated_dir).take_all()}
+    # web: 5 docs {A,A,B,within,within} -> 3 distinct
+    assert got["web"] == (5, 3)
+    assert got["books"] == (3, 2)   # {A,A,unique}
+    assert got["wiki"] == (2, 2)    # {A,B}
