@@ -341,3 +341,52 @@ def test_multi_host_politeness_e2e(corpus, ray_session):
     assert len(facts) == len(gold)
     for c in ("ops_Revenue", "bs_Assets", "validation_error"):
         assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+
+
+def test_distributed_admission_byte_match(corpus, ray_session):
+    """admit_driver_threshold=0 forces EVERY wave through the distributed
+    admission path (bucketed dedup + shard RPCs from tasks + Dataset.sort +
+    block stamping); crawl order and facts must equal the driver path's
+    golden exactly."""
+    seeds = pq.read_table(corpus["seed_tickers"])
+    res = crawl(corpus["pages"], seeds, num_shards=2, host_budget=10.0,
+                admit_driver_threshold=0)
+    golden = pq.read_table(corpus["crawl_order_golden"])
+    got = res.crawl_order.sort_by([("seq", "ascending")])
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    assert got["seq"].to_pylist() == golden["seq"].to_pylist()
+    assert got["wave"].to_pylist() == golden["wave"].to_pylist()
+    facts = res.filings_facts.to_pandas().sort_values(
+        "accession").reset_index(drop=True)
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == len(gold)
+    for c in ("ops_Revenue", "bs_Assets", "validation_error"):
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+    # lineage totals identical to the driver path (dedup hits, robots,
+    # politeness spacing)
+    hits = sum(r["dedup_hits"] for r in res.lineage.to_pylist())
+    assert hits == N_TICKERS * 2
+    blocked = sum(r["robots_blocked"] for r in res.lineage.to_pylist())
+    assert blocked > 0
+    order = res.crawl_order
+    times = sorted(order["scheduled_at"].to_pylist())
+    assert (np.diff(np.sort(times)) >= 1.0 / 10.0 - 1e-9).all()
+
+
+def test_distributed_admission_resume(corpus, tmp_path, ray_session):
+    """kill-after-wave-1 / resume with the distributed admission path on
+    both legs reproduces the golden crawl order."""
+    seeds = pq.read_table(corpus["seed_tickers"])
+    ckpt = str(tmp_path / "ckpt_dist")
+    crawl(corpus["pages"], seeds, num_shards=2, checkpoint_dir=ckpt,
+          stop_after_wave=1, admit_driver_threshold=0)
+    resumed = crawl(corpus["pages"], seeds, num_shards=2,
+                    checkpoint_dir=ckpt, resume=True,
+                    admit_driver_threshold=0)
+    golden = pq.read_table(corpus["crawl_order_golden"])
+    got = resumed.crawl_order.sort_by([("seq", "ascending")])
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    facts = resumed.filings_facts.to_pandas()
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas()
+    assert len(facts) == len(gold)
