@@ -83,6 +83,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         num_shards=2)
         return res.crawl_order.select(["seq", "wave", "url", "host"])
 
+    def crawl_live_transport(sf):
+        """The same 3-wave crawl over the injectable live-HTTP transport
+        (stages/fetch_http): retries/backoff + politeness enforced AT the
+        fetcher; facts equal the parquet-join path (golden-tested)."""
+        import pyarrow.parquet as pq
+
+        from edgar_ray.pipelines.crawl import crawl as run_crawl
+        from edgar_ray.stages.fetch_http import DictTransport, FakeClock
+
+        paths = _corpus()
+        full = pq.read_table(paths["pages"])
+        pages = {u: (h if isinstance(h, bytes) else h.encode())
+                 for u, h in zip(full["url"].to_pylist(),
+                                 full["html"].to_pylist())}
+        clock = FakeClock()
+        res = run_crawl(None, pq.read_table(paths["seed_tickers"]),
+                        num_shards=2,
+                        live_transport=DictTransport(pages, clock=clock),
+                        live_clock=clock)
+        return res.filings_facts
+
     def text_parity(sf):
         import ray.data as rd
 
@@ -238,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (non-SQL; golden-verified in tests/bench)
         "crawl_filings_facts": crawl_facts,
         "crawl_order": crawl_order,
+        "crawl_live_transport": crawl_live_transport,
         "crawl_text_parity": text_parity,
         "crawl_missing_docs": crawl_missing_docs,
         # Filing query API (/root/reference/edgar.go:18-94) over crawled facts
