@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_union": relational.q_distinct_union,
         "q_broadcast_join": relational.q_broadcast_join,
         "q_hash_join": relational.q_hash_join,
+        "q_left_join": relational.q_left_join,
+        "q_semi_join": relational.q_semi_join,
+        "q_distinct_count": relational.q_distinct_count,
         "q_anti_join": relational.q_anti_join,
         "q_percentiles": relational.q_percentiles,
         "q_string_classify": relational.q_string_classify,
@@ -366,6 +369,26 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "q_left_join": """
+            SELECT c.c_mktsegment, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_order_rows
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "q_semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+            GROUP BY c_mktsegment
+        """,
+        "q_distinct_count": """
+            SELECT o_custkey % 100 AS g,
+                   CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_dates
+            FROM orders GROUP BY o_custkey % 100
         """,
         "q_anti_join": """
             SELECT c_custkey, c_acctbal FROM customer c

@@ -449,3 +449,85 @@ def q_string_classify(sf_dir: str):
         .groupby("material")
         .aggregate(Count(alias_name="n_parts"))
     )
+
+
+def q_left_join(sf_dir: str):
+    """Left-outer hash join (customer LEFT JOIN orders): join cardinality
+    and no-match row count per market segment — exercises Ray Data's native
+    left_outer join with null-preserving aggregation."""
+    import numpy as np
+
+    from ..stages.bucketing import size_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    joined = cust.join(
+        orders, join_type="left_outer", on=("c_custkey",),
+        right_on=("o_custkey",),
+        num_partitions=size_partitions(
+            os.path.join(sf_dir, "customer.parquet"),
+            os.path.join(sf_dir, "orders.parquet")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        nulls = pc.is_null(t["o_orderkey"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "no_match": pa.array(nulls.astype(np.int64)),
+        })
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("one", alias_name="n_rows"),
+                      Sum("no_match", alias_name="n_no_order_rows")))
+    return agg.map_batches(
+        lambda t: t.select(["c_mktsegment", "n_rows", "n_no_order_rows"]),
+        batch_format="pyarrow")
+
+
+def q_semi_join(sf_dir: str):
+    """Left-semi hash join (EXISTS): customers with at least one completed
+    ('F') order, counted per market segment — the native semi-join
+    counterpart of q_anti_join's broadcast key-set filter."""
+    import numpy as np
+
+    from ..stages.bucketing import size_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    f_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+            .select(["o_custkey"]),
+            batch_format="pyarrow")
+    hits = cust.join(
+        f_orders, join_type="left_semi", on=("c_custkey",),
+        right_on=("o_custkey",),
+        num_partitions=size_partitions(
+            os.path.join(sf_dir, "customer.parquet"),
+            os.path.join(sf_dir, "orders.parquet")))
+    agg = hits.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"))
+    return agg.map_batches(
+        lambda t: t.select(["c_mktsegment", "n_customers"]),
+        batch_format="pyarrow")
+
+
+def q_distinct_count(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct order dates per customer
+    bucket (o_custkey % 100) — two-stage distinct: dedupe on the full
+    (group, value) pair, then a small count per group (each stage a hash
+    shuffle with bounded keys; no per-group Python)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        g = (t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+             % 100)
+        return pa.table({"g": pa.array(g), "o_orderdate": t["o_orderdate"]})
+
+    distinct = (ds.map_batches(keyed, batch_format="pyarrow")
+                .groupby(["g", "o_orderdate"]).count())
+    agg = distinct.groupby("g").aggregate(Count(alias_name="n_dates"))
+    return agg.map_batches(lambda t: t.select(["g", "n_dates"]),
+                           batch_format="pyarrow")
