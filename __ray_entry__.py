@@ -40,6 +40,27 @@ def _corpus(n_tickers: int = 4, filings: int = 3) -> dict[str, str]:
                          "crawl_order_golden")}
 
 
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _crawl_result():
+    """One shared crawl of the synthetic corpus per process: several
+    registered queries project different outputs (facts / order / getters)
+    of the SAME crawl — re-crawling per query would only re-measure the
+    crawl, not the projection under test."""
+    import pyarrow.parquet as pq
+
+    from edgar_ray.pipelines.crawl import crawl as run_crawl
+
+    paths = _corpus()
+    key = paths["pages"]
+    if key not in _CRAWL_CACHE:
+        _CRAWL_CACHE[key] = run_crawl(
+            paths["pages"], pq.read_table(paths["seed_tickers"]),
+            num_shards=2)
+    return _CRAWL_CACHE[key]
+
+
 def entry() -> Any:
     """Flagship: full crawl (frontier -> fetch -> parse -> merge) over the
     synthetic pages corpus; returns the wide filings_facts Dataset. Also
@@ -64,24 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup, multimodal, relational, sampling, similarity, text, windows)
 
     def crawl_facts(sf):
-        import pyarrow.parquet as pq
-
-        from edgar_ray.pipelines.crawl import crawl as run_crawl
-
-        paths = _corpus()
-        res = run_crawl(paths["pages"], pq.read_table(paths["seed_tickers"]),
-                        num_shards=2)
-        return res.filings_facts
+        return _crawl_result().filings_facts
 
     def crawl_order(sf):
-        import pyarrow.parquet as pq
-
-        from edgar_ray.pipelines.crawl import crawl as run_crawl
-
-        paths = _corpus()
-        res = run_crawl(paths["pages"], pq.read_table(paths["seed_tickers"]),
-                        num_shards=2)
-        return res.crawl_order.select(["seq", "wave", "url", "host"])
+        return _crawl_result().crawl_order.select(
+            ["seq", "wave", "url", "host"])
 
     def crawl_live_transport(sf):
         """The same 3-wave crawl over the injectable live-HTTP transport
