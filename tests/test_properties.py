@@ -174,3 +174,78 @@ def test_parsers_accept_bytes(blob):
     headings, rows = fin_report_raw(blob)
     assert isinstance(headings, list)
     assert isinstance(extracted_text("https://x/b.htm", blob), str)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 kernels vs brute-force references (pure-python oracles on random
+# small inputs; the distributed shape is covered by the oracle/golden tests)
+# ---------------------------------------------------------------------------
+
+
+def _events_table(rows):
+    import numpy as np
+    import pyarrow as pa
+
+    return pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype="int64")
+                       .astype("datetime64[us]")),
+        "value": pa.array([float(r[1] % 7) for r in rows], pa.float64()),
+    })
+
+
+@given(st.lists(st.tuples(st.integers(0, 5),        # user_id
+                          st.integers(0, 50),       # ts us (coarse -> ties)
+                          st.sampled_from(["click", "purchase", "view"])),
+                min_size=0, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_asof_kernel_vs_brute(rows):
+    """Vectorized as-of kernel == brute-force 'latest purchase at or before
+    each click per user' (ties broken by the stable sort: latest position)."""
+    from edgar_ray.pipelines.windows import bucket_asof
+
+    got = {(r["event_id"], r["purchase_id"])
+           for r in bucket_asof(_events_table(rows)).to_pylist()}
+    want = set()
+    for i, (u, ts, et) in enumerate(rows):
+        if et != "click":
+            continue
+        best = None
+        for j, (u2, ts2, et2) in enumerate(rows):
+            if u2 == u and et2 == "purchase" and ts2 <= ts:
+                if best is None or (ts2, j) >= (rows[best][1], best):
+                    best = j
+        if best is not None:
+            want.add((i, best))
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.integers(0, 10),       # ts in HOURS -> many ties
+                          st.just("view")),
+                min_size=0, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_sliding_window_kernel_vs_brute_with_ties(rows):
+    """Trailing-1h kernel == brute force INCLUDING tied timestamps (RANGE
+    frame: all equal-ts peers inside the frame) — regression for the
+    peer-group bug the sf0.01 data masked."""
+    import pyarrow as pa
+
+    from edgar_ray.pipelines.windows import bucket_window
+
+    # hours -> us so many rows tie exactly; window is 1h inclusive
+    rows_us = [(u, h * 1_800_000_000, et) for u, h, et in rows]
+    t = _events_table(rows_us)
+    out = {r["event_id"]: (r["n_1h"], r["sum_value_1h"])
+           for r in bucket_window(t).to_pylist()}
+    vals = [float(ts % 7) for _, ts, _ in rows_us]
+    HOUR = 3_600_000_000
+    for i, (u, ts, _) in enumerate(rows_us):
+        in_frame = [j for j, (u2, ts2, _) in enumerate(rows_us)
+                    if u2 == u and ts - HOUR <= ts2 <= ts]
+        n, sv = out[i]
+        assert n == len(in_frame)
+        assert abs(sv - sum(round(vals[j] * 100) / 100.0
+                            for j in in_frame)) < 1e-9
