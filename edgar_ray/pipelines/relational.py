@@ -146,7 +146,10 @@ def q_window_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
+        # keep microsecond precision: floor_temporal narrows to [s], which
+        # the oracle (date_trunc -> timestamp[us]) would dtype-mismatch
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                       pa.timestamp("us"))
         value_c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
         return pa.table({"user_id": t["user_id"], "hour": hour,
                          "value_c": pa.array(value_c)})
@@ -158,7 +161,10 @@ def q_window_hourly(sf_dir: str):
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        return pa.table({"user_id": t["user_id"], "hour": t["hour"],
+        # Ray's hash aggregate narrows timestamp[us] group keys to [s];
+        # restore microseconds so the dtype matches the oracle's date_trunc
+        return pa.table({"user_id": t["user_id"],
+                         "hour": pc.cast(t["hour"], pa.timestamp("us")),
                          "n_events": t["n_events"],
                          "sum_value": pa.array(t["value_sum"].to_numpy() / 100.0)})
 
