@@ -120,3 +120,34 @@ def test_cuckoo_high_load():
     assert fresh.sum() >= n * 0.98
     assert f.contains_many(h).all()
     assert f.count == int((f.table != 0).sum())
+
+
+def test_cuckoo_overflow_counted_not_masked():
+    """A saturated filter reports insert failures via .overflow instead of
+    silently dropping keys as if they were duplicates."""
+    f = CuckooFilter(capacity=64)  # tiny: rounds to 16 buckets x 4 slots
+    h = hash_urls([f"https://h/{i}" for i in range(500)])
+    fresh = f.add_many(h)
+    dropped = int((~fresh).sum())
+    assert dropped > 0               # far over capacity: some must fail
+    assert f.overflow > 0            # ...and every failure is counted
+    # distinct keys: not-fresh == overflow (nothing masquerades as a dup)
+    assert f.overflow == dropped
+
+
+def test_frontier_shard_overflow_in_lineage(ray_session):
+    """The per-wave lineage row separates seen_set_overflow from
+    dedup_hits."""
+    import ray as _ray
+
+    from edgar_ray.state.frontier import FrontierShard
+
+    shard = FrontierShard.remote(0, capacity=64)
+    h = hash_urls([f"https://h/{i}" for i in range(500)])
+    _ray.get(shard.add_keys.remote(h, 0))
+    rows = _ray.get(shard.lineage_rows.remote())
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["seen_set_overflow"] > 0
+    assert r["dedup_hits"] == 0      # all keys distinct: none were dups
+    assert r["admitted"] + r["seen_set_overflow"] == r["urls_in"]
