@@ -13,11 +13,12 @@ Two independent partitionings, per the north rule's skew clause:
   hot host (sec.gov — the exact skew the north star names). All copies of a
   canonical URL route to the same shard, so first-wins stays exact.
 - **Politeness by host, host-global**: one token per ``1/host_budget`` seconds
-  per host on a simulated clock carried across waves. Slot assignment runs
-  once per wave over frontier METADATA in global priority order — a single
-  vectorized pass per host (O(urls) numpy, no page bytes) — so it is NOT a
-  scaling bottleneck; at 10^10 scale it becomes one scheduler actor per host
-  hash range holding the same ``host -> next_slot`` dict.
+  per host on a simulated clock carried across waves. The ``host ->
+  next_slot`` state is SHARDED across :class:`HostScheduler` actors by host
+  hash; each wave reserves its per-host slot ranges with one
+  (host, count)-map RPC per shard, and slot assignment within the wave is a
+  vectorized metadata pass (driver fast path) or block-parallel stamping
+  tasks (distributed path).
 
 Each dedup shard holds a :class:`CuckooFilter` shard (checkpointable to
 bytes) and per-wave admission counters (urls_in / admitted / dedup_hits) —
@@ -134,6 +135,34 @@ def _rules_by_len(robots_rules: dict[str, list[str]]) -> dict[int, np.ndarray]:
 
 
 @ray.remote
+class HostScheduler:
+    """One politeness-scheduler shard: the ``host -> next free slot`` map for
+    its host-hash range. Reserving a wave's slots per host is one message of
+    (host, count) pairs each way — the per-host-range actor form the
+    single-node driver dict scales into at 10^8+ hosts; state checkpoints
+    with the frontier (merged back into the legacy meta format)."""
+
+    def __init__(self):
+        self.next_slot: dict[str, float] = {}
+
+    def reserve(self, counts: dict, step: float) -> dict:
+        """Atomically reserve ``counts[h]`` consecutive slots per host;
+        returns each host's wave-start slot."""
+        out = {}
+        for h, c in counts.items():
+            s = self.next_slot.get(h, 0.0)
+            out[h] = s
+            self.next_slot[h] = float(s + step * c)
+        return out
+
+    def state(self) -> dict:
+        return self.next_slot
+
+    def restore(self, state: dict) -> None:
+        self.next_slot = dict(state)
+
+
+@ray.remote
 class FrontierShard:
     """One dedup shard: the cuckoo seen-set slice for its url-hash range."""
 
@@ -218,7 +247,10 @@ class Frontier:
             for i in range(num_shards)
         ]
         self.host_budget = float(host_budget)
-        self.host_next_slot: dict[str, float] = {}  # host -> next free offset
+        # politeness state is SHARDED by host hash across scheduler actors
+        # (the driver never holds the host map; at web scale it is the
+        # dominant mutable state after the seen-set)
+        self.sched = [HostScheduler.remote() for _ in range(num_shards)]
         self.driver_lineage: list[dict] = []  # scheduler rows (shard = -1)
         self.next_seq = 0
         self.rules_by_len: dict = {}
@@ -294,14 +326,13 @@ class Frontier:
         rank = np.empty(n, dtype=np.int64)
         rank[order] = np.arange(n) - starts_i[np.cumsum(
             np.r_[True, cs[1:] != cs[:-1]]) - 1]
-        host_start = np.array(
-            [self.host_next_slot.get(h, 0.0) for h in host_names])
         step = 1.0 / self.host_budget
+        counts = np.bincount(codes, minlength=len(host_names))
+        slots = self._reserve_slots(
+            {h: int(c) for h, c in zip(host_names, counts)})
+        host_start = np.array([slots[h] for h in host_names])
         sched = host_start[codes] + step * rank
         deferred = int((step * rank >= 1.0).sum())
-        counts = np.bincount(codes, minlength=len(host_names))
-        for hi, h in enumerate(host_names):
-            self.host_next_slot[h] = float(host_start[hi] + step * counts[hi])
         merged = merged.append_column("scheduled_at", pa.array(sched, pa.float64()))
         self._scheduler_lineage(wave, deferred, robots_blocked)
 
@@ -312,6 +343,23 @@ class Frontier:
         merged = merged.append_column("seq", seq)
         wave_col = pa.array(np.full(merged.num_rows, wave, dtype=np.int32))
         return merged.append_column("wave", wave_col)
+
+    def _reserve_slots(self, counts: dict) -> dict:
+        """Reserve a wave's politeness slots: counts shard by host hash to
+        the scheduler actors (one (host, count)-map RPC per shard, in
+        parallel); returns host -> wave-start slot."""
+        if not counts:
+            return {}
+        by_shard: list[dict] = [{} for _ in range(self.num_shards)]
+        for h, c in counts.items():
+            by_shard[shard_of(h, self.num_shards)][h] = c
+        step = 1.0 / self.host_budget
+        futs = [self.sched[i].reserve.remote(m, step)
+                for i, m in enumerate(by_shard) if m]
+        out: dict = {}
+        for part in ray.get(futs):
+            out.update(part)
+        return out
 
     def admit_wave_ds(self, cand_ds, wave: int, num_buckets: int = 64):
         """Distributed admission (see module-tail comment block): candidates
@@ -383,6 +431,13 @@ class Frontier:
             self._scheduler_lineage(wave, 0, 0)
             return [], 0, []
         step = 1.0 / self.host_budget
+        # reserve the whole wave's slots per host up front (one RPC per
+        # scheduler shard), then stamp blocks against the reserved starts
+        totals: dict[str, int] = {}
+        for _, hc in summaries:
+            for h, c in hc.items():
+                totals[h] = totals.get(h, 0) + c
+        slots = self._reserve_slots(totals)
         seq_off = self.next_seq
         host_rank_cum: dict[str, int] = {}
         stamped = []
@@ -390,18 +445,14 @@ class Frontier:
             if n == 0:
                 continue
             hr0 = {h: host_rank_cum.get(h, 0) for h in hc}
-            slot0 = {h: self.host_next_slot.get(h, 0.0) for h in hc}
+            slot0 = {h: slots[h] for h in hc}
             stamped.append(
                 _stamp_block.remote(ref, seq_off, wave, step, slot0, hr0))
             for h, c in hc.items():
                 host_rank_cum[h] = host_rank_cum.get(h, 0) + c
             seq_off += n
-        deferred = 0
         budget_ceil = int(np.ceil(self.host_budget))
-        for h, c in host_rank_cum.items():
-            start = self.host_next_slot.get(h, 0.0)
-            self.host_next_slot[h] = float(start + step * c)
-            deferred += max(0, c - budget_ceil)
+        deferred = sum(max(0, c - budget_ceil) for c in totals.values())
         self.next_seq += total
         self._scheduler_lineage(wave, deferred, 0)
         return stamped, total, [r for r, (n, _) in zip(refs, summaries) if n]
@@ -447,7 +498,11 @@ class Frontier:
                     "num_shards": self.num_shards,
                     "next_seq": self.next_seq,
                     "host_budget": self.host_budget,
-                    "host_next_slot": self.host_next_slot,
+                    # merged scheduler-shard state (legacy meta format)
+                    "host_next_slot": {
+                        h: s for part in ray.get(
+                            [sc.state.remote() for sc in self.sched])
+                        for h, s in part.items()},
                     "driver_lineage": self.driver_lineage,
                 },
                 f,
@@ -460,7 +515,12 @@ class Frontier:
         assert meta["num_shards"] == self.num_shards, "shard count must match"
         self.next_seq = meta["next_seq"]
         self.host_budget = float(meta.get("host_budget", self.host_budget))
-        self.host_next_slot = dict(meta.get("host_next_slot", {}))
+        merged = dict(meta.get("host_next_slot", {}))
+        by_shard: list[dict] = [{} for _ in range(self.num_shards)]
+        for h, s in merged.items():
+            by_shard[shard_of(h, self.num_shards)][h] = s
+        ray.get([self.sched[i].restore.remote(m)
+                 for i, m in enumerate(by_shard)])
         self.driver_lineage = list(meta.get("driver_lineage", []))
         futs = []
         for i in range(tbl.num_rows):
