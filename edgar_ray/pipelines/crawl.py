@@ -410,6 +410,8 @@ def crawl(
         # are dropped BEFORE the fetch — only unfinished partitions
         # refetch (finer than the all-or-nothing wave checkpoint)
         skipped_pages = 0
+        done_parts: set = set()
+        live_skip_parts: list = []
         if wave == 2 and checkpoint_dir:
             from ..stages.sink import finished_partitions
 
@@ -417,7 +419,8 @@ def crawl(
             done_parts = finished_partitions(facts_dir, "ticker")
             if done_parts and not os.path.exists(
                     os.path.join(facts_dir, "_DONE")):
-                done_arr = pa.array(sorted(done_parts))
+                live_skip_parts = sorted(done_parts)
+                done_arr = pa.array(live_skip_parts)
                 import pyarrow.compute as pc
                 if admitted is not None:
                     keep = pc.invert(pc.is_in(admitted["ticker"],
@@ -450,6 +453,22 @@ def crawl(
 
             if wave in stamped_by_wave:
                 live_src = rd.from_arrow_refs(stamped_by_wave[wave])
+                if live_skip_parts:
+                    # mid-wave-2 resume: drop finished ticker partitions
+                    # BEFORE touching the live host (the stamped refs are
+                    # pre-filter; the parquet path filtered admitted above)
+                    skip_ref = ray.put(live_skip_parts)
+
+                    def _drop_done_live(t: pa.Table) -> pa.Table:
+                        import pyarrow.compute as _pc
+
+                        dl = ray.get(skip_ref) if isinstance(
+                            skip_ref, ray.ObjectRef) else skip_ref
+                        return t.filter(_pc.invert(_pc.is_in(
+                            t["ticker"], value_set=pa.array(dl))))
+
+                    live_src = live_src.map_batches(
+                        _drop_done_live, batch_format="pyarrow")
             else:
                 live_src = rd.from_arrow(admitted)
             fetched = fetch_live(

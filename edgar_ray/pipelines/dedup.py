@@ -47,8 +47,8 @@ def _truncate_segments(starts: np.ndarray, sizes: np.ndarray, kind: str):
     sel = sizes >= 2
     return zip(starts[sel], np.minimum(sizes, MAX_SEGMENT)[sel])
 
-# byte-popcount lookup for vectorized hamming distance
-_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+# byte-popcount lookup for vectorized hamming distance (shared table)
+from ..stages.bucketing import POP8 as _POP8  # noqa: E402
 
 
 def _docs(sf_dir: str, columns=None):
@@ -466,9 +466,12 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4, nbits: int = 8,
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
-    # vector dim from the first row of the footer-pruned single-row read
+    # vector dim from the first row of the footer-pruned single-row read;
+    # an empty embeddings table yields an empty pair set, not a crash
     import pyarrow.parquet as pq
     pf = pq.ParquetFile(path)
+    if pf.metadata.num_rows == 0:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
     dim = len(next(pf.iter_batches(batch_size=1, columns=["embedding"]
                                    ))["embedding"][0])
 

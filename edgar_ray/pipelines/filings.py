@@ -57,7 +57,7 @@ def collected_counts(facts_ds):
     presence bitmasks."""
     import numpy as np
 
-    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    from ..stages.bucketing import POP8 as pop8
 
     def count(t: pa.Table) -> pa.Table:
         total = np.zeros(t.num_rows, dtype=np.int64)

@@ -30,6 +30,35 @@ def _docs(sf_dir: str, columns):
                            columns=columns)
 
 
+def _hash_map(t: pa.Table) -> pa.Table:
+    """Shared map stage: (content_hash = md5 of the utf-8 text, source).
+    ONE definition so every curation operator keys on the same content-hash
+    semantics (and stays in sync with the DuckDB md5() oracles)."""
+    hs = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+    return pa.table({"content_hash": pa.array(hs, pa.string()),
+                     "source": t["source"]})
+
+
+def _hash_source_segments(t: pa.Table):
+    """Factorize + sort one bucket's (content_hash, source) rows; returns
+    (h, s, hc, sc, order, hstarts, hends, n_src_per_hash) — the shared
+    segment arithmetic for contamination/dedup-rate kernels."""
+    h = np.asarray(t["content_hash"].to_pylist(), dtype=object)
+    s = np.asarray(t["source"].to_pylist(), dtype=object)
+    _, hc = np.unique(h, return_inverse=True)
+    _, sc = np.unique(s, return_inverse=True)
+    order = np.lexsort((sc, hc))
+    hs_sorted, sc_sorted = hc[order], sc[order]
+    hash_start = np.r_[True, hs_sorted[1:] != hs_sorted[:-1]]
+    pair_start = np.r_[True, (hs_sorted[1:] != hs_sorted[:-1])
+                       | (sc_sorted[1:] != sc_sorted[:-1])]
+    hstarts = np.nonzero(hash_start)[0]
+    hends = np.r_[hstarts[1:], len(order)]
+    cps = np.cumsum(pair_start)
+    n_src = cps[hends - 1] - np.r_[0, cps[hstarts[1:] - 1]]
+    return h, s, hc, sc, order, hstarts, hends, n_src
+
+
 def _md5_low64(values) -> np.ndarray:
     """uint64 per value: little-endian low 8 bytes of md5(str(v)) —
     DuckDB ``md5_number_lower`` parity."""
@@ -124,12 +153,6 @@ def cross_source_contamination(sf_dir: str):
 
     Shape: per-batch md5 map -> bucketed shuffle on the hash -> one
     vectorized pass per bucket (factorize + segment count-distinct)."""
-    def hash_map(t: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(s.encode()).hexdigest()
-              for s in t["text"].to_pylist()]
-        return pa.table({"content_hash": pa.array(hs, pa.string()),
-                         "source": t["source"]})
-
     def bucket_count(t: pa.Table) -> pa.Table:
         if "_bucket" in t.column_names:
             t = t.drop_columns(["_bucket"])
@@ -137,23 +160,8 @@ def cross_source_contamination(sf_dir: str):
             return pa.table({"content_hash": pa.array([], pa.string()),
                              "n_sources": pa.array([], pa.int64()),
                              "n_docs": pa.array([], pa.int64())})
-        h = np.asarray(t["content_hash"].to_pylist(), dtype=object)
-        s = np.asarray(t["source"].to_pylist(), dtype=object)
-        _, hc = np.unique(h, return_inverse=True)
-        _, sc = np.unique(s, return_inverse=True)
-        order, starts = segment_sort(hc.astype(np.int64), sc.astype(np.int64))
-        ends = np.r_[starts[1:], len(order)]
-        # rows sorted by (hash, source): distinct sources per hash = number
-        # of (hash, source) boundary starts within each hash segment
-        hs_sorted = hc[order]
-        sc_sorted = sc[order]
-        pair_start = np.r_[True, (hs_sorted[1:] != hs_sorted[:-1])
-                           | (sc_sorted[1:] != sc_sorted[:-1])]
-        hash_start = np.r_[True, hs_sorted[1:] != hs_sorted[:-1]]
-        hstarts = np.nonzero(hash_start)[0]
-        hends = np.r_[hstarts[1:], len(order)]
-        cps = np.cumsum(pair_start)
-        n_sources = cps[hends - 1] - np.r_[0, cps[hstarts[1:] - 1]]
+        h, s, hc, sc, order, hstarts, hends, n_sources = \
+            _hash_source_segments(t)
         n_docs = hends - hstarts
         keep = n_sources > 1
         return pa.table({
@@ -164,7 +172,7 @@ def cross_source_contamination(sf_dir: str):
         })
 
     mapped = _docs(sf_dir, ["text", "source"]).map_batches(
-        hash_map, batch_format="pyarrow")
+        _hash_map, batch_format="pyarrow")
     return grouped_apply(mapped, ["content_hash"], bucket_count, NUM_BUCKETS)
 
 
@@ -179,12 +187,6 @@ def contamination_summary(sf_dir: str):
 
     Same bucketed shape: hashes meet in buckets; each bucket emits partial
     per-source (docs, contaminated) counts; a tiny groupby(source) sums."""
-    def hash_map(t: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(s.encode()).hexdigest()
-              for s in t["text"].to_pylist()]
-        return pa.table({"content_hash": pa.array(hs, pa.string()),
-                         "source": t["source"]})
-
     def bucket_partial(t: pa.Table) -> pa.Table:
         if "_bucket" in t.column_names:
             t = t.drop_columns(["_bucket"])
@@ -192,24 +194,10 @@ def contamination_summary(sf_dir: str):
             return pa.table({"source": pa.array([], pa.string()),
                              "n_docs": pa.array([], pa.int64()),
                              "n_contaminated": pa.array([], pa.int64())})
-        h = np.asarray(t["content_hash"].to_pylist(), dtype=object)
-        s = np.asarray(t["source"].to_pylist(), dtype=object)
-        _, hc = np.unique(h, return_inverse=True)
-        _, sc = np.unique(s, return_inverse=True)
-        # contaminated hash = >1 distinct source for that hash: sort rows by
-        # (hash, source); distinct sources per hash segment = number of
-        # (hash, source) boundaries inside it
-        order = np.lexsort((sc, hc))
-        hs_sorted, sc_sorted = hc[order], sc[order]
-        hash_start = np.r_[True, hs_sorted[1:] != hs_sorted[:-1]]
-        pair_start = np.r_[True, (hs_sorted[1:] != hs_sorted[:-1])
-                           | (sc_sorted[1:] != sc_sorted[:-1])]
-        hstarts = np.nonzero(hash_start)[0]
-        hends = np.r_[hstarts[1:], len(order)]
-        cps = np.cumsum(pair_start)
-        n_src = cps[hends - 1] - np.r_[0, cps[hstarts[1:] - 1]]
+        h, s, hc, sc, order, hstarts, hends, n_src = \
+            _hash_source_segments(t)
         contam_hash = np.zeros(int(hc.max()) + 1, dtype=bool)
-        contam_hash[hs_sorted[hstarts]] = n_src > 1
+        contam_hash[hc[order][hstarts]] = n_src > 1
         row_contam = contam_hash[hc].astype(np.int64)
         # per-source partial sums
         so, s_starts = segment_sort(sc.astype(np.int64))
@@ -225,7 +213,7 @@ def contamination_summary(sf_dir: str):
     from ray.data.aggregate import Sum
 
     mapped = _docs(sf_dir, ["text", "source"]).map_batches(
-        hash_map, batch_format="pyarrow")
+        _hash_map, batch_format="pyarrow")
     partials = grouped_apply(mapped, ["content_hash"], bucket_partial,
                              NUM_BUCKETS)
     agg = partials.groupby("source").aggregate(
@@ -241,12 +229,6 @@ def dedup_rate(sf_dir: str):
     n_distinct = distinct content hashes — the pre-dedup corpus audit that
     sizes how much exact dedup will remove. Bucketed on the hash so each
     distinct hash is counted exactly once even when its copies span blocks."""
-    def hash_map(t: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(s.encode()).hexdigest()
-              for s in t["text"].to_pylist()]
-        return pa.table({"content_hash": pa.array(hs, pa.string()),
-                         "source": t["source"]})
-
     def bucket_partial(t: pa.Table) -> pa.Table:
         if "_bucket" in t.column_names:
             t = t.drop_columns(["_bucket"])
@@ -276,7 +258,7 @@ def dedup_rate(sf_dir: str):
     from ray.data.aggregate import Sum
 
     mapped = _docs(sf_dir, ["text", "source"]).map_batches(
-        hash_map, batch_format="pyarrow")
+        _hash_map, batch_format="pyarrow")
     partials = grouped_apply(mapped, ["content_hash"], bucket_partial,
                              NUM_BUCKETS)
     agg = partials.groupby("source").aggregate(

@@ -770,13 +770,25 @@ def _desc(date: str) -> str:
 
 
 def corpus_version() -> str:
-    """Content hash of this generator module: cached corpora embed it in
-    their directory names so a semantics change can never serve a stale
-    /tmp cache to the driver or bench."""
+    """Content hash of the generator AND the parse/report modules whose
+    semantics the goldens encode (golden_facts imports go_div /
+    is_same_scale / extracted_text / the tokenizer...): cached corpora embed
+    it in their directory names, so a semantics change in ANY of these can
+    never serve a stale /tmp cache to the driver or bench."""
     import hashlib as _h
 
-    with open(__file__, "rb") as f:
-        return _h.sha1(f.read()).hexdigest()[:8]
+    from ..functions import parse as _parse
+    from ..functions import report as _report
+    from ..functions import tokenizer as _tok
+    from ..functions import xbrl as _xbrl
+    from .. import schema as _schema
+
+    h = _h.sha1()
+    for mod_file in (__file__, _parse.__file__, _report.__file__,
+                     _tok.__file__, _xbrl.__file__, _schema.__file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
 
 
 def write_corpus(out_dir: str, n_tickers: int = 8, filings_per_type: int = 4,

@@ -15,6 +15,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# shared byte-popcount lookup (vectorized hamming distance / bitmask counts)
+POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
 _FNV_PRIME = np.uint64(0x100000001B3)
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 
