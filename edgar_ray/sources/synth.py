@@ -49,6 +49,7 @@ from ..schema import (
     DOC_MERGE_PRIORITY,
     DOC_OPS,
     FACT_BY_TAG,
+    REQUIRED_DOC_TYPES,
     STRICT_DATA_TO_DOC,
     STRUCT_FIELDS,
     fact_col,
@@ -310,6 +311,16 @@ def make_filing_spec(
 
     fs.n_reports = 8  # reports[1..7] + the skipped trailing 'all' entry
     fs.xml_reports = frozenset({6, 7} if case in (2, 5) else set())
+
+    # incomplete-filing case: ~1/8 of filings ship no Cash Flow statement and
+    # no debt note (menu entries AND R-pages absent), exercising
+    # getMissingDocs (A5) past its len(data)>=len(required) short-circuit
+    # (/root/reference/reportmap.go:81-83), the required-field validation
+    # error, and partial collected_cf bits. Drawn LAST so every other field's
+    # rng stream is unchanged.
+    if int(rng.integers(0, 8)) == 5:
+        fs.docs = [d for d in fs.docs
+                   if d.doc_type not in (DOC_CF, DOC_DEBT)]
     return fs
 
 
@@ -559,6 +570,63 @@ def golden_facts(fs: FilingSpec) -> dict:
 # field name throughout golden_facts.
 
 
+def golden_missing_docs(fs: FilingSpec) -> str:
+    """Spec-level re-derivation of the reference's getMissingDocs string
+    (/root/reference/reportmap.go:80-112) for one filing-index page: which
+    required doc types the index's mapped menu entries do NOT cover, with the
+    Ops <-> Income equivalence. Computed from DocSpec.doc_type directly (the
+    classification golden), independent of the HTML parser under test."""
+    data_keys = {d.doc_type for d in fs.docs if d.doc_type in DOC_MERGE_PRIORITY}
+    if len(data_keys) >= len(REQUIRED_DOC_TYPES):
+        return ""
+    diff = []
+    for key in REQUIRED_DOC_TYPES:
+        if key not in data_keys:
+            if key == DOC_OPS and DOC_INC in data_keys:
+                continue
+            if key == DOC_INC and DOC_OPS in data_keys:
+                continue
+            diff.append(key)
+    if not diff:
+        return ""
+    return "[ " + "".join(" " + d for d in diff) + " ]"
+
+
+# marshal order of financialReport (/root/reference/report.go:8-14); the
+# golden folder JSON is rebuilt here from golden_facts rows so the driver can
+# oracle-compare the crawl+merge+String() pipeline end-to-end
+_FOLDER_STRUCT_ORDER = (
+    ("Entity Information", "entity"),
+    ("Operational Information", "ops"),
+    ("Balance Sheet Information", "bs"),
+    ("Cash Flow Information", "cf"),
+)
+
+
+def golden_folder_json(ticker: str, rows: list[dict]) -> str:
+    """Company folder marshal (/root/reference/folder.go:21-27 +
+    report.go:8-56): dict key order = Go struct declaration order; integral
+    float64s render without a decimal point (Go json.Marshal)."""
+    import json
+
+    reports: dict = {}
+    for row in sorted(rows, key=lambda r: (r["filing_type"], r["filed_date"])):
+        fin: dict = {"Filing Type": row["filing_type"]}
+        for key, struct in _FOLDER_STRUCT_ORDER:
+            sub: dict = {"Collected Data": int(row[f"collected_{struct}"])}
+            for f in STRUCT_FIELDS[struct]:
+                v = float(row[fact_col(f)])
+                sub[f.json_tag] = int(v) if v.is_integer() else v
+            fin[key] = sub
+        reports.setdefault(row["filing_type"], {})[row["filed_date"]] = {
+            "Company": ticker,
+            "Report date": row["filed_date"],
+            "Financial Data": fin,
+        }
+    return json.dumps({"Company": ticker, "Financial Reports": reports},
+                      indent=4)
+
+
 # ---------------------------------------------------------------------------
 # Corpus assembly
 # ---------------------------------------------------------------------------
@@ -663,8 +731,11 @@ def gen_ticker_chunk(n_tickers: int, filings_per_type: int, seed: int,
 
     golden_rows = [golden_facts(fs) for fs in specs
                    if not robots_blocked_rank(fs.seed_rank)]
+    # per-index-page missing-docs golden covers EVERY index page in the pages
+    # table (robots blocking gates the crawl, not the raw page content)
+    missing_rows = [(fs.index_url(), golden_missing_docs(fs)) for fs in ordered]
     return {"w0": w0, "w1": w1, "w2": w2, "crawl": crawl,
-            "golden": golden_rows}
+            "golden": golden_rows, "missing": missing_rows}
 
 
 def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42,
@@ -748,6 +819,24 @@ def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42,
 
     golden_tbl = pa.Table.from_pylist(golden_rows)
 
+    missing_rows: list[tuple[str, str]] = []
+    for ch in chunks:
+        missing_rows.extend(ch.get("missing", ()))
+    missing_tbl = pa.table({
+        "url": pa.array([u for u, _ in missing_rows], pa.string()),
+        "missing_docs": pa.array([m for _, m in missing_rows], pa.string()),
+    })
+
+    by_ticker: dict[str, list[dict]] = {}
+    for row in golden_rows:
+        by_ticker.setdefault(row["ticker"], []).append(row)
+    folder_tbl = pa.table({
+        "ticker": pa.array(sorted(by_ticker), pa.string()),
+        "folder_json": pa.array(
+            [golden_folder_json(t, by_ticker[t]) for t in sorted(by_ticker)],
+            pa.string()),
+    })
+
     seeds_tbl = pa.table(
         {
             "ticker": pa.array([f"SYN{i:04d}" for i in range(n_tickers)]),
@@ -760,6 +849,8 @@ def gen_corpus(n_tickers: int = 8, filings_per_type: int = 4, seed: int = 42,
         "filings_golden": golden_tbl,
         "crawl_order_golden": crawl_tbl,
         "seed_tickers": seeds_tbl,
+        "missing_docs_golden": missing_tbl,
+        "folder_json_golden": folder_tbl,
     }
 
 
