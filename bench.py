@@ -127,7 +127,7 @@ def run_bench() -> dict:
         crawl_stats["joinfetch_sec"] = round(time.monotonic() - t0, 3)
         assert res_j.metrics["frontier_urls"] == res.metrics["frontier_urls"]
 
-    qs = entrymod.queries()
+    qs = entrymod.queries() | entrymod.extra_queries()
     bench_queries = () if BENCH_MODE == "crawl" else (
         "q1_pricing_summary", "q_hash_join", "q_topk_per_group",
         "dedup_exact", "dedup_minhash_lsh", "similarity_knn_brute",

@@ -278,6 +278,19 @@ class ExtractFactsActor:
         return extract_facts(batch)
 
 
+def recompute_text(batch: pa.Table) -> pa.Table:
+    """Per-row invariant stage, oracle-comparable form: recompute the
+    canonical extracted text from html (input_hint byte-identity — the
+    driver hashes this against the stored golden ``text`` column)."""
+    cols = batch.to_pydict()
+    return pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "text": pa.array([extracted_text(u, h)
+                          for u, h in zip(cols["url"], cols["html"])],
+                         pa.string()),
+    })
+
+
 def verify_text(batch: pa.Table) -> pa.Table:
     """Per-row invariant stage: recompute the canonical extracted text from
     html and compare against the stored ``text`` column (the input_hint

@@ -49,17 +49,24 @@ def _entry_module():
     return e
 
 
-def _oracle_pairs():
+def _all_queries():
     e = _entry_module()
-    sql = e.oracle_sql()
-    return sorted(sql.keys())
+    return e.queries() | e.extra_queries()
+
+
+def _all_sql():
+    e = _entry_module()
+    return e.oracle_sql() | e.extra_oracle_sql()
+
+
+def _oracle_pairs():
+    return sorted(_all_sql().keys())
 
 
 @pytest.mark.parametrize("name", _oracle_pairs())
 def test_query_matches_oracle(name, sf_dir, oracle_con, ray_session):
-    e = _entry_module()
-    got = _normalize(_to_pandas(e.queries()[name](sf_dir)))
-    want = _normalize(oracle_con.execute(e.oracle_sql()[name]).fetchdf())
+    got = _normalize(_to_pandas(_all_queries()[name](sf_dir)))
+    want = _normalize(oracle_con.execute(_all_sql()[name]).fetchdf())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}")
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
@@ -69,8 +76,19 @@ def test_query_matches_oracle(name, sf_dir, oracle_con, ray_session):
 
 def test_rows_only_queries_run(sf_dir, ray_session):
     """Non-SQL-expressible entries must still run and return >= 0 rows."""
-    e = _entry_module()
-    qs, sql = e.queries(), e.oracle_sql()
+    qs, sql = _all_queries(), _all_sql()
     for name in sorted(set(qs) - set(sql)):
         df = _to_pandas(qs[name](sf_dir))
         assert df is not None, name
+
+
+def test_driver_registry_shape():
+    """Exactly 50 driver-facing queries (the driver's observed row cap);
+    every oracle key has a query twin in the SAME registry, and the two
+    registries are disjoint."""
+    e = _entry_module()
+    qs, extra = e.queries(), e.extra_queries()
+    assert len(qs) == 50
+    assert not set(qs) & set(extra)
+    assert set(e.oracle_sql()) <= set(qs)
+    assert set(e.extra_oracle_sql()) <= set(extra)
