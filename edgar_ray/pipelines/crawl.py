@@ -287,12 +287,33 @@ def crawl(
         hosts = sorted({extract_host(u) for u in
                         seed_frontier(seed_tickers, filing_types)["url"].to_pylist()})
         if live_transport is not None and pages_ds_factory is None:
-            # live mode: robots.txt comes over the transport itself
+            # live mode: robots.txt comes over the transport itself, with
+            # the same retry/backoff discipline as the page fetcher. Only a
+            # KeyError (the transport's 404: host publishes no robots.txt)
+            # disables rules for a host; a persistently-failing transient
+            # fetch RAISES instead of silently crawling without robots.
             rules = {}
+            sleeper = live_clock if live_clock is not None else time
             for h in hosts:
-                try:
-                    body = live_transport(f"https://{h}/robots.txt")
-                except Exception:
+                body, delay, last_err = None, 0.5, None
+                for attempt in range(4):
+                    try:
+                        body = live_transport(f"https://{h}/robots.txt")
+                        last_err = None
+                        break
+                    except KeyError:
+                        last_err = None  # no robots.txt published
+                        break
+                    except Exception as e:  # transient transport error
+                        last_err = e
+                        sleeper.sleep(delay)
+                        delay *= 2
+                if last_err is not None:
+                    raise RuntimeError(
+                        f"robots.txt fetch for {h} failed after retries "
+                        f"(refusing to crawl without robots rules)"
+                    ) from last_err
+                if body is None:
                     continue
                 body = body.decode() if isinstance(body, bytes) else body
                 prefixes = parse_robots_txt(body, h)
@@ -382,6 +403,13 @@ def crawl(
             if n_admitted == 0:
                 break
             admitted_tables.append(admitted)
+            # the UNFILTERED admitted table is what checkpoints: the
+            # mid-wave-2 resume filter below drops already-done ticker rows
+            # from the FETCH only — persisting the filtered variant would
+            # permanently lose those rows from wave2_admitted.parquet (seq
+            # gaps in a later crawl_order rebuild). The distributed path
+            # checkpoints pre-filter stamped refs; this keeps parity.
+            admitted_ckpt = admitted
             admitted_ds = None
         else:
             stamped_refs, n_admitted, sorted_refs = frontier.admit_wave_ds(
@@ -563,7 +591,7 @@ def crawl(
                 admitted_stamped = pa.concat_tables(
                     ray.get(stamped_by_wave[wave])).combine_chunks()
             else:
-                admitted_stamped = admitted  # driver-path wave
+                admitted_stamped = admitted_ckpt  # driver-path wave (pre-filter)
             pq.write_table(admitted_stamped,
                            os.path.join(checkpoint_dir, f"wave{wave}_admitted.parquet"))
             if candidates is not None:

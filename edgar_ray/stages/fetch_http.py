@@ -9,9 +9,16 @@ the parquet join, per the reference gap list:
 - **Politeness enforced AT the fetcher**, not just computed upstream: each
   admitted row carries ``scheduled_at`` (the frontier's host-global slot,
   seconds from crawl start); the fetch actor sleeps until its slot on a
-  shared clock before touching the host. Upstream scheduling makes
-  violations impossible *by construction*; this stage makes them impossible
-  *against a live host* even if rows are replayed or re-ordered.
+  clock whose ANCHOR IS SHARED ACROSS THE POOL (one wall-clock epoch
+  captured on the driver at ``fetch_live`` time and passed to every actor),
+  so no row ever fires BEFORE its host-global slot regardless of which
+  actor it lands on. Guarantee boundary, stated honestly: a row delayed
+  past a LATER row's slot (retry/backoff stall) can still land closer than
+  ``1/host_budget`` to that later row when the two run on different
+  actors — within one actor the ``host_min_gap`` floor re-spaces them. For
+  strict per-host serialization against a live host, run with
+  ``concurrency=1`` (single fetcher) or pre-partition the admitted rows by
+  host so one actor owns each host's rows.
 - **Retries with exponential backoff** where the reference ``log.Fatal``s:
   a transient error retries up to ``max_retries`` times; a permanent
   failure emits the row with ``fetch_status='error'`` instead of killing
@@ -35,14 +42,24 @@ FETCH_META_COLS = ["ticker", "cik", "filing_type", "filed_date", "accession",
 
 
 class SystemClock:
-    """Real monotonic clock (live crawls). Tests inject a fake."""
+    """Real clock (live crawls). Tests inject a fake.
 
-    def __init__(self):
-        self._t0 = time.monotonic()
+    ``t0_epoch`` is a ``time.time()`` wall-clock anchor captured ONCE on the
+    driver and shared by every actor in the pool, so ``now()`` is comparable
+    across actors (and, to NTP precision, across nodes) — per-actor
+    construction-time anchors would skew each actor's origin and break the
+    host-global slot semantics. Without ``t0_epoch`` the clock anchors at
+    construction (single-process use)."""
+
+    def __init__(self, t0_epoch: float | None = None):
+        self._t0_epoch = t0_epoch
+        self._mono0 = time.monotonic()
 
     def now(self) -> float:
-        """Seconds since the clock (crawl) started."""
-        return time.monotonic() - self._t0
+        """Seconds since the crawl (shared anchor) or clock construction."""
+        if self._t0_epoch is not None:
+            return time.time() - self._t0_epoch
+        return time.monotonic() - self._mono0
 
     def sleep(self, seconds: float) -> None:
         time.sleep(seconds)
@@ -58,16 +75,23 @@ class HttpFetcher:
     """
 
     def __init__(self, transport=None, clock=None, max_retries: int = 3,
-                 backoff_s: float = 0.5, enforce_politeness: bool = True):
+                 backoff_s: float = 0.5, enforce_politeness: bool = True,
+                 clock_t0_epoch: float | None = None,
+                 host_min_gap: float | None = None):
         if transport is None:
             raise NotImplementedError(
                 "no network in this environment: inject transport(url)->bytes "
                 "(e.g. requests.get(...).content on a production image)")
         self.transport = transport
-        self.clock = clock or SystemClock()
+        # clock_t0_epoch: the pool-shared wall-clock anchor (see SystemClock)
+        self.clock = clock or SystemClock(t0_epoch=clock_t0_epoch)
         self.max_retries = max_retries
         self.backoff_s = backoff_s
         self.enforce_politeness = enforce_politeness
+        # per-host minimum inter-fetch gap enforced WITHIN this actor even
+        # after a retry/backoff stall pushed a row past its slot
+        self.host_min_gap = host_min_gap
+        self._last_touch: dict[str, float] = {}
 
     def _fetch_one(self, url: str) -> tuple[bytes | None, int]:
         delay = self.backoff_s
@@ -89,11 +113,17 @@ class HttpFetcher:
         status: list[str] = []
         attempts: list[int] = []
         for url, slot in zip(urls, sched):
+            host = url.split("/", 3)[2] if "://" in url else url
             if self.enforce_politeness:
                 wait = float(slot) - self.clock.now()
+                if self.host_min_gap and host in self._last_touch:
+                    wait = max(wait, self._last_touch[host]
+                               + self.host_min_gap - self.clock.now())
                 if wait > 0:
                     self.clock.sleep(wait)
             body, n = self._fetch_one(url)
+            if self.host_min_gap:
+                self._last_touch[host] = self.clock.now()
             htmls.append(body if body is not None else b"")
             status.append("ok" if body is not None else "error")
             attempts.append(n)
@@ -111,17 +141,29 @@ class HttpFetcher:
 
 def fetch_live(admitted_ds, transport, *, clock=None, max_retries: int = 3,
                backoff_s: float = 0.5, enforce_politeness: bool = True,
-               concurrency=(1, 8), batch_size: int = 64):
+               concurrency=(1, 8), batch_size: int = 64,
+               host_min_gap: float | None = None):
     """Admitted frontier Dataset -> fetched page Dataset over live HTTP.
 
     Failed rows survive with ``fetch_status='error'`` (filter downstream);
-    ``concurrency`` bounds simultaneous connections per the host's terms."""
+    ``concurrency`` bounds simultaneous connections per the host's terms.
+
+    When no ``clock`` is injected, every actor in the pool anchors its
+    SystemClock to ONE wall-clock epoch captured here on the driver —
+    per-actor anchors would skew slot origins across the pool (see the
+    module docstring for the exact guarantee boundary). An injected clock
+    (tests) is copied per actor by Ray's constructor-arg serialization;
+    callers that need cross-actor determinism with a fake clock should run
+    ``concurrency=1``. ``host_min_gap`` (seconds) adds a per-host
+    inter-fetch floor within each actor, covering retry-delayed rows."""
     return admitted_ds.map_batches(
         HttpFetcher,
         fn_constructor_kwargs={
             "transport": transport, "clock": clock,
             "max_retries": max_retries, "backoff_s": backoff_s,
             "enforce_politeness": enforce_politeness,
+            "clock_t0_epoch": time.time() if clock is None else None,
+            "host_min_gap": host_min_gap,
         },
         batch_format="pyarrow", batch_size=batch_size,
         # IO-bound: fractional CPU so the fetch pool can never starve the

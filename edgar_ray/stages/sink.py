@@ -41,7 +41,13 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     Partition dirs WITHOUT a ``_DONE`` marker are partial output from a
     crashed previous run: their files are deleted before rewriting, so the
     partition's rows are never duplicated (write_parquet appends new uuid
-    files; it does not truncate)."""
+    files; it does not truncate).
+
+    ``resume=False`` is EXPLICITLY "overwrite all": every existing
+    ``<partition_col>=...`` directory under ``out_dir`` (done or not) is
+    deleted before the write — truncate-then-load semantics for callers that
+    want a from-scratch rebuild. Callers that share an output directory
+    across runs must keep the ``resume=True`` default."""
     import shutil
 
     done = finished_partitions(out_dir, partition_col) if resume else set()

@@ -53,25 +53,14 @@ def shard_of(host: str, num_shards: int) -> int:
     return zlib.crc32(host.encode()) % num_shards
 
 
-def _priority_sort(tbl: pa.Table) -> pa.Table:
-    """Deterministic within-wave order: filed_date DESCENDING (newest first,
-    like AvailableFilings /root/reference/folder.go:128-131), all else asc.
-
-    Implemented as a NUMERIC lexsort (multi-key string sorts are the driver
-    bottleneck at millions of candidates): filing_type dictionary-encodes
+def _priority_keys(tbl: pa.Table) -> list[np.ndarray]:
+    """Numeric lexsort keys for the within-wave priority ``(seed_rank,
+    filing_type, -filed_date, report_num)``: filing_type dictionary-encodes
     with sorted-dictionary ranks, filed_date parses to an int (empty -> -1,
-    which lands LAST under descending like the empty string does), and the
-    final url-ascending tiebreak is replaced by url_canon_hash — exact
-    because distinct URLs never tie on all four priority components (only
-    duplicate URLs do, and any stable deterministic tiebreak picks the same
-    winner for identical URLs)."""
+    which lands LAST under descending like the empty string does)."""
     import pyarrow.compute as pc
 
-    n = tbl.num_rows
-    if n <= 1:
-        return tbl
     rank = tbl["seed_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
-
     ft = tbl["filing_type"]
     enc = pc.dictionary_encode(ft.combine_chunks() if isinstance(ft, pa.ChunkedArray) else ft)
     if isinstance(enc, pa.ChunkedArray):
@@ -89,12 +78,29 @@ def _priority_sort(tbl: pa.Table) -> pa.Table:
         pa.int64(),
     ).to_numpy(zero_copy_only=False)
     repnum = tbl["report_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return [rank, ft_key, -date_int, repnum]
+
+
+def _priority_sort(tbl: pa.Table) -> pa.Table:
+    """Deterministic within-wave order: filed_date DESCENDING (newest first,
+    like AvailableFilings /root/reference/folder.go:128-131), all else asc.
+
+    Implemented as a NUMERIC lexsort (multi-key string sorts are the driver
+    bottleneck at millions of candidates; see ``_priority_keys``); the final
+    url-ascending tiebreak is replaced by url_canon_hash — exact because
+    distinct URLs never tie on all four priority components (only duplicate
+    URLs do, and any stable deterministic tiebreak picks the same winner for
+    identical URLs)."""
+    n = tbl.num_rows
+    if n <= 1:
+        return tbl
+    rank, ft_key, neg_date, repnum = _priority_keys(tbl)
     if "url_canon_hash" in tbl.column_names:
         tie = tbl["url_canon_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     else:
         _, tie = np.unique(np.asarray(tbl["url"].to_pylist(), dtype=object),
                            return_inverse=True)
-    order = np.lexsort((tie, repnum, -date_int, ft_key, rank))
+    order = np.lexsort((tie, repnum, neg_date, ft_key, rank))
     return tbl.take(pa.array(order, pa.int64()))
 
 
@@ -293,12 +299,29 @@ class Frontier:
         # uint64 key slices in that order and reply with fresh-masks
         tbl = _priority_sort(tbl)
         hashes = tbl["url_canon_hash"].to_numpy().astype(np.uint64, copy=False)
+        # in-wave first-wins dedup under the SAME comparator the distributed
+        # bucket path uses (_inwave_winners: priority keys then _TIE_COLS),
+        # so both paths provably admit identical rows even for duplicate
+        # copies that carry different metadata. Dropped copies are counted
+        # as dedup hits via the inwave_dups channel, exactly like the
+        # distributed path.
+        inwave_dups = 0
+        if len(hashes) != len(np.unique(hashes)):
+            winners, inwave_dups = _inwave_winners(
+                tbl, hashes, _priority_keys(tbl))
+            keep_sorted = np.sort(winners)  # preserve global priority order
+            tbl = tbl.take(pa.array(keep_sorted, pa.int64()))
+            hashes = hashes[keep_sorted]
         shard_ids = (hashes % np.uint64(self.num_shards)).astype(np.int64)
         futs, slices = [], []
+        attached = False
         for s in range(self.num_shards):
             idx = np.nonzero(shard_ids == s)[0]
             if len(idx):
-                futs.append(self.shards[s].add_keys.remote(hashes[idx], wave))
+                extra = (inwave_dups,) if not attached else (0,)
+                attached = True
+                futs.append(self.shards[s].add_keys.remote(
+                    hashes[idx], wave, *extra))
                 slices.append(idx)
         fresh = np.zeros(tbl.num_rows, dtype=bool)
         for idx, mask in zip(slices, ray.get(futs)):
@@ -559,6 +582,32 @@ class Frontier:
 _TIE_COLS = ("doc_type", "accession", "cik", "ticker", "url")
 
 
+def _inwave_winners(t: pa.Table, h: np.ndarray,
+                    prio_keys: list[np.ndarray]) -> tuple[np.ndarray, int]:
+    """In-wave first-wins dedup under the ONE shared comparator both
+    admission paths use: per canonical-url hash, the winner is the min row by
+    (priority keys, then _TIE_COLS metadata). Returns (winner_indices in
+    comparator order, n_duplicate_copies). Duplicate copies of a canonical
+    URL that carry DIFFERENT metadata therefore resolve identically on the
+    driver fast path and the distributed bucket path. A tie column absent
+    from the table (hand-built candidate tables in tests/tools) contributes
+    a constant — both paths skip it identically."""
+    ties = []
+    for c in _TIE_COLS:
+        if c not in t.column_names:
+            continue
+        _, inv = np.unique(np.asarray(t[c].to_pylist(), dtype=object),
+                           return_inverse=True)
+        ties.append(inv.astype(np.int64))
+    rank, ft_key, neg_date, repnum = prio_keys
+    order = np.lexsort(tuple(reversed(ties))
+                       + (repnum, neg_date, ft_key, rank, h))
+    hs = h[order]
+    first = np.r_[True, hs[1:] != hs[:-1]]
+    winners = order[first]
+    return winners, int(len(h) - len(winners))
+
+
 def _local_priority_keys(t: pa.Table) -> list[np.ndarray]:
     """Numeric lexsort keys replicating ``_priority_sort`` bucket-locally.
     Strings factorize via np.unique — lexicographic ranks, so local
@@ -590,20 +639,10 @@ def _make_bucket_admit(shards, num_shards: int, wave: int):
                 ray.get(shards[0].add_keys.remote(
                     np.empty(0, np.uint64), wave, 0, n_blocked))
             return t
-        keys = _local_priority_keys(t)
-        ties = []
-        for c in _TIE_COLS:
-            _, inv = np.unique(np.asarray(t[c].to_pylist(), dtype=object),
-                               return_inverse=True)
-            ties.append(inv.astype(np.int64))
         # primary key (last in the lexsort tuple) = canonical hash, then the
-        # four priority components, then the metadata tie-breaks
-        order = np.lexsort(tuple(reversed(ties))
-                           + (keys[3], keys[2], keys[1], keys[0], h))
-        hs = h[order]
-        first = np.r_[True, hs[1:] != hs[:-1]]
-        winners = order[first]
-        inwave_dups = int(len(h) - len(winners))
+        # four priority components, then the metadata tie-breaks — the
+        # shared comparator (see _inwave_winners)
+        winners, inwave_dups = _inwave_winners(t, h, _local_priority_keys(t))
         wh = h[winners]
         sid = (wh % np.uint64(num_shards)).astype(np.int64)
         fresh = np.zeros(len(winners), dtype=bool)

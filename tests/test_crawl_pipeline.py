@@ -280,6 +280,13 @@ def test_resume_mid_wave2_partition_granularity(corpus, tmp_path, ray_session):
     assert len(facts) == len(gold)
     for c in ("ops_Revenue", "bs_Assets", "validation_error"):
         assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+    # the wave-2 checkpoint persists the UNFILTERED admitted table (the
+    # skip-done filter applies to the FETCH only): a later resume of the
+    # finished run rebuilds crawl_order with every wave-2 row, no seq gaps
+    w2_adm = pq.read_table(_os.path.join(ckpt, "wave2_admitted.parquet"))
+    assert w2_adm.num_rows == total_w2
+    seqs = sorted(w2_adm["seq"].to_pylist())
+    assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
 
 
 def test_multi_host_politeness_e2e(corpus, ray_session):

@@ -91,3 +91,69 @@ def test_crawl_over_live_transport(live_corpus, ray_session):
     assert len(facts) == len(gold)
     for c in ("ops_Revenue", "bs_Assets", "validation_error"):
         assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+
+
+def test_shared_clock_anchor():
+    """SystemClocks built at different times from ONE t0_epoch agree — the
+    pool-shared anchor that keeps host-global slots comparable across
+    actors (per-actor construction anchors would skew origins)."""
+    import time
+
+    from edgar_ray.stages.fetch_http import SystemClock
+
+    t0 = time.time()
+    a = SystemClock(t0_epoch=t0)
+    time.sleep(0.05)
+    b = SystemClock(t0_epoch=t0)  # later construction, same anchor
+    assert abs(a.now() - b.now()) < 0.01
+    assert b.now() >= 0.05 - 0.01
+
+
+def test_host_min_gap_floor(ray_session):
+    """host_min_gap re-spaces same-host fetches inside an actor even when
+    every row's slot is already in the past (retry-stall scenario)."""
+    clock = FakeClock()
+    pages = {f"https://h/g{i}": b"x" for i in range(5)}
+    transport = FlakyTransport(pages, clock=clock)
+    urls = sorted(pages)
+    t = pa.table({"url": pa.array(urls),
+                  "scheduled_at": pa.array([0.0] * 5, pa.float64())})
+    HttpFetcher(transport=transport, clock=clock, host_min_gap=0.5)(t)
+    times = [ts for _, ts in clock.fetch_log]
+    gaps = np.diff(np.asarray(times))
+    assert (gaps >= 0.5 - 1e-9).all()
+
+
+def test_robots_transient_fetch_retries(live_corpus, ray_session):
+    """A transiently-failing robots.txt fetch retries instead of silently
+    disabling robots for the host; rules still apply after recovery."""
+    full = pq.read_table(live_corpus["pages"])
+    pages = {u: (h if isinstance(h, bytes) else h.encode())
+             for u, h in zip(full["url"].to_pylist(),
+                             full["html"].to_pylist())}
+    robots_urls = [u for u in pages if u.endswith("/robots.txt")]
+    assert robots_urls
+    clock = FakeClock()
+    transport = FlakyTransport(pages, fail_n={robots_urls[0]: 2}, clock=clock)
+    seeds = pq.read_table(live_corpus["seed_tickers"])
+    res = crawl(None, seeds, num_shards=2, host_budget=1000.0,
+                live_transport=transport, live_clock=clock)
+    blocked = sum(r["robots_blocked"] or 0 for r in res.lineage.to_pylist())
+    assert blocked > 0  # rules recovered via retry and were enforced
+
+
+def test_robots_persistent_failure_surfaces(live_corpus, ray_session):
+    """A persistently-failing robots fetch RAISES — never crawl a host
+    whose robots rules could not be read."""
+    full = pq.read_table(live_corpus["pages"])
+    pages = {u: (h if isinstance(h, bytes) else h.encode())
+             for u, h in zip(full["url"].to_pylist(),
+                             full["html"].to_pylist())}
+    robots_urls = [u for u in pages if u.endswith("/robots.txt")]
+    clock = FakeClock()
+    transport = FlakyTransport(pages, fail_n={robots_urls[0]: 99},
+                               clock=clock)
+    seeds = pq.read_table(live_corpus["seed_tickers"])
+    with pytest.raises(RuntimeError, match="robots.txt"):
+        crawl(None, seeds, num_shards=2, host_budget=1000.0,
+              live_transport=transport, live_clock=clock)

@@ -151,3 +151,29 @@ def test_frontier_shard_overflow_in_lineage(ray_session):
     assert r["seen_set_overflow"] > 0
     assert r["dedup_hits"] == 0      # all keys distinct: none were dups
     assert r["admitted"] + r["seen_set_overflow"] == r["urls_in"]
+
+
+def test_admit_tiebreak_parity_duplicate_metadata(ray_session):
+    """Duplicate copies of one canonical URL that tie on all priority
+    components but differ in metadata resolve by the SHARED _TIE_COLS
+    comparator on the driver path — identical to the distributed
+    bucket_admit winner (min doc_type here), regardless of arrival order."""
+    import pyarrow as pa
+
+    from edgar_ray.state.frontier import Frontier
+
+    url = "https://www.sec.gov/Archives/edgar/data/9/idx.htm"
+    base = _candidates([(url, "www.sec.gov", 0, "10-K", "2020-01-01", 0),
+                        (url, "www.sec.gov", 0, "10-K", "2020-01-01", 0)])
+    # arrival order puts doc_type 'z-last' FIRST: stable first-arrival would
+    # keep it; the _TIE_COLS comparator must keep 'a-first'
+    cand = base.append_column(
+        "doc_type", pa.array(["z-last", "a-first"], pa.string()))
+    f = Frontier(num_shards=2, capacity=4096, host_budget=1000.0)
+    admitted = f.admit_wave(cand, wave=0)
+    assert admitted.num_rows == 1
+    assert admitted["doc_type"].to_pylist() == ["a-first"]
+    # lineage counts the dropped copy as a dedup hit (urls_in stays 2)
+    rows = [r for r in f.lineage_table().to_pylist() if r["shard"] >= 0]
+    assert sum(r["urls_in"] for r in rows) == 2
+    assert sum(r["dedup_hits"] for r in rows) == 1
