@@ -114,41 +114,154 @@ def dedup_exact(sf_dir: str):
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-_WORD_RE = re.compile(r"\w+")
 _C1, _C2, _C3 = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
                  np.uint64(0x165667B19E3779F9))
+_CARR = np.array([_C1, _C2, _C3], dtype=np.uint64)
+
+# polynomial word-hash base (odd -> invertible mod 2^64) and its inverse
+_PB = np.uint64(0x100000001B3)
+_PBINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+from .text import _utf8_buffers  # noqa: E402  (shared zero-copy view)
 
 
-def _word_hashes(text: str) -> np.ndarray:
-    """Stable 64-bit hash per lowercase word (blake2b — process-stable, unlike
-    Python's salted hash())."""
-    words = _WORD_RE.findall(text.lower())
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-         for w in words),
-        dtype=np.uint64, count=len(words),
-    )
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64 finalizer, vectorized — avalanches the structured
+    polynomial hashes over the full 64-bit space."""
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xC4CEB9FE1A85EC53)
+    return h ^ (h >> np.uint64(33))
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingle hashes via a vectorized rolling combine of word hashes
-    (position-weighted so ABC != CBA)."""
-    hw = _word_hashes(text)
-    if len(hw) == 0:
-        return np.empty(0, dtype=np.uint64)
-    if len(hw) < k:
-        acc = np.uint64(0)
-        for i, h in enumerate(hw):
-            acc ^= h * (_C1, _C2, _C3)[i % 3]
-        return np.array([acc], dtype=np.uint64)
-    sh = hw[: len(hw) - k + 1] * _C1 ^ hw[1: len(hw) - k + 2] * _C2 \
-        ^ hw[2: len(hw) - k + 3] * _C3
-    return np.unique(sh)
+def _word_hash_batch(col, chunk_bytes: int = 1 << 20
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-word 64-bit hashes for a WHOLE batch in vectorized byte passes:
+    returns (flat word hashes in document order, per-doc offsets, len n+1).
+
+    Words = maximal runs of ASCII-lowercased ``[0-9a-z_]`` or non-ASCII
+    bytes over the batch's concatenated UTF-8 buffer (zero-copy from Arrow;
+    multi-byte letters group into runs like ``\\w`` — non-ASCII punctuation
+    joins them, a documented byte-level approximation). Hash of word
+    [s, e) = fmix64 of the prefix-polynomial difference
+    ``(P[e] - P[s]) * B^-s`` — identical bytes give identical hashes, no
+    per-word Python (the previous per-word blake2b loop dominated the
+    MinHash stage). Processes the buffer in ~1 MB doc-aligned chunks so
+    the 8-byte-per-input-byte prefix temporaries stay allocator-warm."""
+    data, starts, ends = _utf8_buffers(col)
+    n = len(starts)
+    if n == 0 or len(data) == 0:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    hashes: list[np.ndarray] = []
+    counts = np.zeros(n, dtype=np.int64)
+    d0 = 0
+    while d0 < n:
+        d1 = int(np.searchsorted(ends, ends[d0] + chunk_bytes, side="left"))
+        d1 = max(d1, d0 + 1)
+        lo = starts[d0]
+        sub = data[lo: ends[d1 - 1]]
+        sub_starts = starts[d0:d1] - lo
+        sub_ends = ends[d0:d1] - lo
+        h, c = _word_hash_chunk(sub, sub_starts, sub_ends)
+        hashes.append(h)
+        counts[d0:d1] = c
+        d0 = d1
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    return (np.concatenate(hashes) if hashes else np.empty(0, np.uint64),
+            off)
+
+
+def _word_hash_chunk(data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    nbytes = len(data)
+    lengths = ends - starts
+    nonempty = lengths > 0
+    lower = np.where((data >= 65) & (data <= 90), data + 32, data)
+    w = (((lower >= 97) & (lower <= 122))
+         | ((lower >= 48) & (lower <= 57))
+         | (lower == 95) | (lower >= 128))
+    ds_m = np.zeros(nbytes + 1, dtype=bool)
+    ds_m[starts[nonempty]] = True
+    dl_m = np.zeros(nbytes + 1, dtype=bool)
+    dl_m[ends[nonempty] - 1] = True
+    prev_w = np.r_[False, w[:-1]]
+    next_w = np.r_[w[1:], False]
+    rs = np.nonzero(w & (~prev_w | ds_m[:nbytes]))[0]
+    re_ = np.nonzero(w & (~next_w | dl_m[:nbytes]))[0]
+    counts = np.searchsorted(rs, ends) - np.searchsorted(rs, starts)
+    if len(rs) == 0:
+        return np.empty(0, np.uint64), counts
+    pows = np.empty(nbytes, dtype=np.uint64)
+    pows[0] = 1
+    if nbytes > 1:
+        np.cumprod(np.full(nbytes - 1, _PB, dtype=np.uint64),
+                   out=pows[1:])
+    ipows = np.empty(nbytes, dtype=np.uint64)
+    ipows[0] = 1
+    if nbytes > 1:
+        np.cumprod(np.full(nbytes - 1, _PBINV, dtype=np.uint64),
+                   out=ipows[1:])
+    pref = np.zeros(nbytes + 1, dtype=np.uint64)
+    np.cumsum(lower.astype(np.uint64) * pows, out=pref[1:])
+    raw = (pref[re_ + 1] - pref[rs]) * ipows[rs]
+    return _mix64(raw), counts
+
+
+def _shingle_hash_batch(col, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """k-word shingle hashes for a whole batch (position-weighted rolling
+    combine of word hashes, so ABC != CBA), distinct-and-sorted per doc.
+    Returns (flat shingles in doc order, per-doc offsets, len n+1).
+    Docs with 0 < words < k emit ONE accumulated shingle (xor of
+    position-weighted word hashes), matching the previous per-doc code."""
+    hw, woff = _word_hash_batch(col)
+    n = len(woff) - 1
+    wn = np.diff(woff)
+    total = len(hw)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), wn)
+    # full k-shingles: positions whose k-th neighbor is still in-doc
+    if total >= k:
+        pos = np.arange(total - k + 1)
+        same = doc_of[pos] == doc_of[pos + k - 1]
+        pos = pos[same]
+        sh = hw[pos] * _CARR[0]
+        for j in range(1, k):
+            sh = sh ^ (hw[pos + j] * _CARR[j % 3])
+        sdoc = doc_of[pos]
+    else:
+        sh = np.empty(0, np.uint64)
+        sdoc = np.empty(0, np.int64)
+    # short docs (0 < wn < k): one xor-accumulated shingle each
+    short = np.nonzero((wn > 0) & (wn < k))[0]
+    if len(short):
+        first = woff[short]
+        acc = hw[first] * _CARR[0]
+        for j in range(1, k - 1):
+            m = wn[short] > j
+            acc[m] = acc[m] ^ (hw[first[m] + j] * _CARR[j % 3])
+        sh = np.concatenate([sh, acc])
+        sdoc = np.concatenate([sdoc, short])
+    if len(sh) == 0:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    # per-doc sort + dedupe (one global lexsort)
+    order = np.lexsort((sh, sdoc))
+    ss, dd = sh[order], sdoc[order]
+    keep = np.r_[True, (dd[1:] != dd[:-1]) | (ss[1:] != ss[:-1])]
+    flat, fdoc = ss[keep], dd[keep]
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(fdoc, minlength=n), out=off[1:])
+    return flat, off
 
 
 class MinHasher:
     """Stateful signature stage: the permutation parameters are built once per
-    actor (__init__), applied vectorized per batch (__call__)."""
+    actor (__init__), applied vectorized per batch (__call__) — one batch
+    shingle pass (_shingle_hash_batch), then (a*x+b) mod p over shingle
+    CHUNKS with per-doc minimum.reduceat; no per-doc Python loop."""
+
+    # shingles per matmul chunk: num_perm x CHUNK_SH x 8B stays ~32 MB
+    CHUNK_SH = 65536
 
     def __init__(self, num_perm: int = 64, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -157,22 +270,49 @@ class MinHasher:
         self.p = np.uint64((1 << 61) - 1)
         self.num_perm = num_perm
 
+    def signatures(self, col) -> np.ndarray:
+        """(n, num_perm) uint64 signature matrix; all-max sentinel for
+        shingle-less docs."""
+        flat, off = _shingle_hash_batch(col)
+        n = len(off) - 1
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        if len(flat) == 0:
+            return sigs
+        sn = np.diff(off)
+        d0 = 0
+        while d0 < n:
+            # advance to keep each chunk's shingle span bounded (single
+            # docs larger than the cap still go through whole)
+            d1 = int(np.searchsorted(off, off[d0] + self.CHUNK_SH,
+                                     side="left"))
+            d1 = min(max(d1, d0 + 1), n)
+            s0, s1 = off[d0], off[d1]
+            if s1 > s0:
+                vals = (flat[None, s0:s1] * self.a[:, None]
+                        + self.b[:, None]) % self.p
+                ne = np.nonzero(sn[d0:d1] > 0)[0] + d0  # docs with shingles
+                starts = (off[ne] - s0).astype(np.int64)
+                mins = np.minimum.reduceat(vals, starts, axis=1)
+                sigs[ne] = mins.T
+            d0 = d1
+        return sigs
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text)
-        if len(sh) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (a * x + b) mod p for all perms x shingles, take min per perm
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % self.p
-        return vals.min(axis=1)
+        """Single-doc convenience (tests)."""
+        return self.signatures(pa.array([text], pa.string()))[0]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sigs = [self.signature(s) for s in t["text"].to_pylist()]
+        sigs = self.signatures(t["text"])
+        blob = sigs.tobytes()
+        row = self.num_perm * 8
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 # fixed-width binary blob: ~10x cheaper to build/ship than a
                 # list<uint64> of python ints
-                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                "sig": pa.array([blob[i * row:(i + 1) * row]
+                                 for i in range(t.num_rows)], pa.binary()),
             }
         )
 
@@ -265,32 +405,55 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7, num_perm: int = 64,
 class SimHasher:
     """64-bit SimHash over word features; near-dups share the hash up to
     `hamming_max` bits. Buckets on 4x16-bit chunks so any pair within
-    hamming distance 3 collides in >=1 chunk (pigeonhole)."""
+    hamming distance 3 collides in >=1 chunk (pigeonhole).
+
+    Batch kernel: one `_word_hash_batch` byte pass for the whole batch,
+    then a (words, 64) unpackbits + per-doc `np.add.reduceat` — no per-doc
+    Python. Word-chunked so the bit matrix stays ~32 MB."""
+
+    CHUNK_WORDS = 1 << 19
+
+    def simhashes(self, col) -> tuple[np.ndarray, np.ndarray]:
+        """(uint64 simhash per doc, bool mask of docs with >=1 word)."""
+        hw, off = _word_hash_batch(col)
+        n = len(off) - 1
+        wn = np.diff(off)
+        out = np.zeros(n, dtype=np.uint64)
+        ne = np.nonzero(wn > 0)[0]
+        if len(ne) == 0:
+            return out, wn > 0
+        d0 = 0
+        while d0 < len(ne):
+            d1 = int(np.searchsorted(off[ne], off[ne[d0]] + self.CHUNK_WORDS,
+                                     side="left"))
+            d1 = max(d1, d0 + 1)
+            docs = ne[d0:d1]
+            w0, w1 = off[docs[0]], off[docs[-1] + 1]
+            bits = np.unpackbits(
+                hw[w0:w1].view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+            ones = np.add.reduceat(bits.astype(np.int64),
+                                   (off[docs] - w0).astype(np.int64), axis=0)
+            gt = ones * 2 > wn[docs][:, None]  # sign of (+1/-1) bit sum
+            out[docs] = np.frombuffer(
+                np.packbits(gt, axis=1).tobytes(), dtype=">u8"
+            ).astype(np.uint64)
+            d0 = d1
+        return out, wn > 0
 
     def simhash(self, text: str) -> int:
-        hw = _word_hashes(text)
-        if len(hw) == 0:
-            return 0
-        bits = np.unpackbits(hw.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
-        acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-        return int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
+        """Single-doc convenience (tests)."""
+        return int(self.simhashes(pa.array([text], pa.string()))[0][0])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         # featureless (empty/whitespace) docs are DROPPED here: they would
         # all share simhash 0 and collide in all 4 chunks — the degenerate
         # segment guard's primary source. Exact dedup covers identical
         # empties.
-        hs, keep = [], []
-        for s in t["text"].to_pylist():
-            if not _WORD_RE.search((s or "").lower()):
-                keep.append(False)
-                hs.append(0)
-                continue
-            keep.append(True)
-            hs.append(self.simhash(s))
+        hs, keep = self.simhashes(t["text"])
         out = pa.table({"doc_id": t["doc_id"],
-                        "simhash": pa.array([h - (1 << 63) for h in hs],
-                                            pa.int64())})
+                        "simhash": pa.array(
+                            (hs - np.uint64(1 << 63)).view(np.int64),
+                            pa.int64())})
         return out.filter(pa.array(keep))
 
 
@@ -355,12 +518,17 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 3):
     ds = _docs(sf_dir)
 
     def add_key(t: pa.Table) -> pa.Table:
-        keys, shingle_sets, keep = [], [], []
-        for s in t["text"].to_pylist():
-            sh = _shingle_hashes(s, k)
-            keep.append(len(sh) > 0)  # shingle-less docs: Jaccard undefined
-            keys.append(int(sh.min()) if len(sh) else 0)
-            shingle_sets.append(sh.tobytes())
+        # one batch shingle pass; per-doc shingles are distinct AND sorted
+        # ascending, so the min is the first element and the blob doubles
+        # as the exact-verify set
+        flat, off = _shingle_hash_batch(t["text"], k)
+        n = t.num_rows
+        sn = np.diff(off)
+        keep = sn > 0  # shingle-less docs: Jaccard undefined
+        keys = np.zeros(n, dtype=np.uint64)
+        keys[keep] = flat[off[:-1][keep]]
+        blob = flat.tobytes()
+        shingle_sets = [blob[off[i] * 8: off[i + 1] * 8] for i in range(n)]
         return pa.table({"doc_id": t["doc_id"],
                          "min_shingle": pa.array(keys, pa.uint64()),
                          "shingles": pa.array(shingle_sets, pa.binary())}

@@ -377,3 +377,41 @@ def test_dedup_rate_planted(contaminated_dir, ray_session):
     assert got["web"] == (5, 3)
     assert got["books"] == (3, 2)   # {A,A,unique}
     assert got["wiki"] == (2, 2)    # {A,B}
+
+
+def test_quality_vectorized_equals_scalar(ray_session):
+    """The byte-pass QualityScorer kernel is output-identical (bitwise, all
+    six columns) to the scalar pandas twin on testdata plus boundary cases:
+    empty/whitespace docs, apostrophes, unicode (multi-byte UTF-8), doc
+    boundaries where adjacent docs end/start with letters."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from edgar_ray.pipelines.text import QualityScorer
+
+    qs = QualityScorer()
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    tricky = pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array([
+            "", " ", "don't stop the beat", "the the the",
+            "é ünïcödé wörds the", "UPPER the LOWER", "a",
+            "which which' 'which", "x" * 100,
+            "one two, three; four: five! six? the...",
+            "русский текст the and", "mixed é1n2d3 the-quick don't",
+        ], pa.string()),
+    })
+    for t in (docs, tricky):
+        vec = qs(t).to_pandas()
+        ref = qs.score_frame(t.to_pandas()).reset_index(drop=True)
+        for c in vec.columns:
+            assert (vec[c].to_numpy() == ref[c].to_numpy()).all(), c
+    # the chunked path (big batches split into CHUNK-doc sub-batches)
+    many = pa.table({
+        "doc_id": pa.array(range(qs.CHUNK + 7), pa.int64()),
+        "text": pa.array((["the quick brown fox."] * (qs.CHUNK + 7))),
+    })
+    out = qs(many).to_pandas()
+    assert len(out) == qs.CHUNK + 7
+    assert (out["n_words"] == 4).all()
