@@ -162,10 +162,22 @@ def _fetch_wave(pages_source, admitted, join_threshold: int,
     if admitted.num_rows <= join_threshold:
         if "url_sha1" in admitted.column_names:
             # reuse the sha1 digests computed in the parse stages: first 8
-            # big-endian bytes == hash_urls, no driver-side hashing loop
-            blob = b"".join(admitted["url_sha1"].to_pylist())
-            keys = (np.frombuffer(blob, np.uint8).reshape(-1, 20)[:, :8]
-                    .copy().view(">u8").astype(np.uint64).reshape(-1))
+            # big-endian bytes == hash_urls. The digests are fixed 20-byte
+            # values in a variable-width binary column, so the key matrix
+            # is a strided view over the Arrow data buffer — no per-row
+            # Python bytes objects on the driver (up to 5M/wave before).
+            arr = admitted["url_sha1"].combine_chunks()
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+            if arr.null_count == 0 and np.all(np.diff(offs) == 20):
+                data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                mat = data[offs[0]: offs[-1]].reshape(-1, 20)
+            else:  # defensive: schema drift to ragged/null digests
+                mat = np.frombuffer(
+                    b"".join(admitted["url_sha1"].to_pylist()),
+                    np.uint8).reshape(-1, 20)
+            keys = (mat[:, :8].copy().view(">u8").astype(np.uint64)
+                    .reshape(-1))
         else:
             keys = hash_urls(admitted["url"].to_pylist())
         order = np.argsort(keys)

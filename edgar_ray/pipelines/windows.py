@@ -100,19 +100,27 @@ def bucket_window(t: pa.Table) -> pa.Table:
     bounds = np.r_[starts, len(u)]
     csum = np.r_[0, np.cumsum(v)]
     n = len(order)
-    # first index within the USER SEGMENT with ts >= ts[i] - 1h; ts is
-    # sorted per segment only, so searchsorted runs segment-local
-    # (segments per bucket are few — the key space is hash-bucketed)
-    # hi uses side='right' on the row's OWN ts so tied timestamps share
-    # the full peer group — matching RANGE ... AND CURRENT ROW semantics
-    # (all equal-ts peers are inside the frame).
-    lo = np.empty(n, dtype=np.int64)
-    hi = np.empty(n, dtype=np.int64)
-    for g in range(len(starts)):
-        a, b = bounds[g], bounds[g + 1]
-        lo[a:b] = a + np.searchsorted(s[a:b], s[a:b] - _US_HOUR,
-                                      side="left")
-        hi[a:b] = a + np.searchsorted(s[a:b], s[a:b], side="right")
+    # Frame bounds per row, fully vectorized (no per-segment Python loop):
+    # (segment, ts) is mapped to one sortable int64 rank key — segment
+    # index x ts-rank space — so a SINGLE global searchsorted over the
+    # bucket's own key array finds every row's bounds at once (same
+    # technique as bucket_asof above). hi uses side='right' on the row's
+    # OWN ts so tied timestamps share the full peer group — matching
+    # RANGE ... AND CURRENT ROW semantics (equal-ts peers in the frame);
+    # lo is the first in-segment index with ts >= ts[i] - 1h (rows of
+    # other segments occupy disjoint key ranges, so bounds never leak).
+    del bounds  # tail bound not needed by the key-space formulation
+    seg = np.zeros(n, dtype=np.int64)
+    seg[starts[1:]] = 1
+    np.cumsum(seg, out=seg)
+    all_ts = np.unique(s)
+    span = np.int64(len(all_ts) + 1)
+    key = seg * span + np.searchsorted(all_ts, s)
+    hi = np.searchsorted(key, key, side="right")
+    lo = np.searchsorted(
+        key, seg * span + np.searchsorted(all_ts, s - _US_HOUR,
+                                          side="left"),
+        side="left")
     n_1h = hi - lo
     sums = (csum[hi] - csum[lo]) / 100.0
     return pa.table({"event_id": pa.array(e, pa.int64()),
