@@ -665,6 +665,8 @@ def crawl(
         "politeness_violations": sum(r.get("politeness_violations") or 0 for r in lrows),
         "politeness_deferred": sum(r.get("politeness_deferred") or 0 for r in lrows),
         "robots_blocked": sum(r.get("robots_blocked") or 0 for r in lrows),
+        "seen_set_overflow": sum(r.get("seen_set_overflow") or 0 for r in lrows),
+        "seen_set_reshards": sum(r.get("seen_set_reshards") or 0 for r in lrows),
         "wave_timings": wave_timings,
     }
     if 2 in wave_timings:

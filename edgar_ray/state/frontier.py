@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 import ray
 
 from .canonical import canonicalize
-from .cuckoo import CuckooFilter, hash_urls
+from .cuckoo import CuckooFilter, GrowableCuckoo, hash_urls
 
 PRIORITY_COLS = ("seed_rank", "filing_type", "filed_date", "report_num", "url")
 
@@ -174,9 +174,13 @@ class FrontierShard:
 
     def __init__(self, shard_id: int, capacity: int = 1 << 16):
         self.shard_id = shard_id
-        self.filter = CuckooFilter(capacity)
+        # growable: auto-appends a double-size cuckoo layer at 0.9 load,
+        # so a mis-sized initial capacity reshards instead of dropping
+        # admissions (each growth is recorded in the wave lineage)
+        self.filter = GrowableCuckoo(capacity)
         self.lineage: list[dict] = []
         self._overflow_seen = 0
+        self._reshards_seen = 0
 
     def _new_overflow(self, update: bool = False) -> int:
         """Insert failures since the last wave — surfaced per-wave in
@@ -185,6 +189,12 @@ class FrontierShard:
         delta = self.filter.overflow - self._overflow_seen
         if update:
             self._overflow_seen = self.filter.overflow
+        return delta
+
+    def _new_reshards(self) -> int:
+        """Growth (auto-reshard) events since the last wave row."""
+        delta = len(self.filter.growth_events) - self._reshards_seen
+        self._reshards_seen = len(self.filter.growth_events)
         return delta
 
     def add_keys(self, h: np.ndarray, wave: int, inwave_dups: int = 0,
@@ -210,6 +220,7 @@ class FrontierShard:
                 "dedup_hits": (int(len(h)) - n_fresh - self._new_overflow()
                                + inwave_dups),
                 "seen_set_overflow": self._new_overflow(update=True),
+                "seen_set_reshards": self._new_reshards(),
                 "politeness_violations": 0,  # enforced by construction
                 "politeness_deferred": 0,  # accounted on the scheduler row
                 "robots_blocked": robots_blocked,
@@ -225,9 +236,10 @@ class FrontierShard:
         return self.filter.to_bytes(), state
 
     def restore(self, blob: bytes, state: dict) -> None:
-        self.filter = CuckooFilter.from_bytes(blob)
+        self.filter = GrowableCuckoo.from_bytes(blob)
         self.lineage = list(state["lineage"])
         self._overflow_seen = 0
+        self._reshards_seen = len(self.filter.growth_events)
 
 
 class Frontier:

@@ -136,8 +136,11 @@ def test_cuckoo_overflow_counted_not_masked():
 
 
 def test_frontier_shard_overflow_in_lineage(ray_session):
-    """The per-wave lineage row separates seen_set_overflow from
-    dedup_hits."""
+    """The per-wave lineage row separates seen_set_overflow from dedup_hits.
+    With the growable seen-set a 8x-over-capacity wave produces NO overflow
+    (the shard grows instead) and nothing is miscounted as a dup; the
+    overflow column remains as the counted last-resort for pathological
+    eviction failures."""
     import ray as _ray
 
     from edgar_ray.state.frontier import FrontierShard
@@ -148,7 +151,8 @@ def test_frontier_shard_overflow_in_lineage(ray_session):
     rows = _ray.get(shard.lineage_rows.remote())
     assert len(rows) == 1
     r = rows[0]
-    assert r["seen_set_overflow"] > 0
+    assert r["seen_set_overflow"] == 0   # grown, not dropped
+    assert r["seen_set_reshards"] >= 1
     assert r["dedup_hits"] == 0      # all keys distinct: none were dups
     assert r["admitted"] + r["seen_set_overflow"] == r["urls_in"]
 
@@ -177,3 +181,49 @@ def test_admit_tiebreak_parity_duplicate_metadata(ray_session):
     rows = [r for r in f.lineage_table().to_pylist() if r["shard"] >= 0]
     assert sum(r["urls_in"] for r in rows) == 2
     assert sum(r["dedup_hits"] for r in rows) == 1
+
+
+def test_growable_cuckoo_reshards_past_design_load():
+    """Driving a shard far past its design capacity grows new layers
+    (recorded events) with ZERO overflow-masked admissions: every distinct
+    key either inserts fresh or is a counted in-layer fingerprint dup —
+    nothing is dropped."""
+    from edgar_ray.state.cuckoo import GrowableCuckoo
+
+    g = GrowableCuckoo(capacity=256)  # design load ~230 keys
+    h = hash_urls([f"https://grow/{i}" for i in range(5000)])
+    fresh = g.add_many(h)
+    assert g.overflow == 0                      # nothing dropped
+    assert len(g.growth_events) >= 1            # reshard happened + recorded
+    assert g.growth_events[0]["new_capacity"] >= 512
+    assert g.contains_many(h).all()             # no false negatives
+    # distinct keys: allow only a tiny fp-collision "dup" fraction
+    assert fresh.sum() >= 5000 * 0.995
+    # a second offer of the same keys dedups across layers
+    assert not g.add_many(h).any()
+    # checkpoint round-trips the whole layer stack
+    g2 = GrowableCuckoo.from_bytes(g.to_bytes())
+    assert g2.contains_many(h).all()
+    assert len(g2.layers) == len(g.layers)
+    # ...and incremental inserts after restore keep working
+    h2 = hash_urls([f"https://grow2/{i}" for i in range(1000)])
+    assert g2.add_many(h2).sum() >= 1000 * 0.99
+    assert g2.overflow == 0
+
+
+def test_frontier_shard_reshard_in_lineage(ray_session):
+    """A FrontierShard whose waves exceed the initial capacity records the
+    growth in its lineage rows (seen_set_reshards) and keeps admitting."""
+    import ray as _ray
+
+    from edgar_ray.state.frontier import FrontierShard
+
+    shard = FrontierShard.remote(0, capacity=128)
+    h1 = hash_urls([f"https://a/{i}" for i in range(100)])
+    h2 = hash_urls([f"https://b/{i}" for i in range(400)])
+    f1 = _ray.get(shard.add_keys.remote(h1, 0))
+    f2 = _ray.get(shard.add_keys.remote(h2, 1))
+    assert f1.sum() >= 99 and f2.sum() >= 398  # all admitted (mod fp dups)
+    rows = _ray.get(shard.lineage_rows.remote())
+    assert sum(r["seen_set_overflow"] for r in rows) == 0
+    assert sum(r["seen_set_reshards"] for r in rows) >= 1
