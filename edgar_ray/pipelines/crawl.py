@@ -541,7 +541,9 @@ def crawl(
             # streaming plan and thrash its resource reservations at low
             # parallelism (5x wall time at 8 cpus), and it is the natural
             # wave-2 checkpoint boundary.
+            t_stage = time.monotonic()
             facts_raw = facts_raw.materialize()
+            extract_s = time.monotonic() - t_stage
             # fetch accounting (lineage: pages_ok/pages_err): one facts_raw
             # row per successfully fetched+parsed page; admitted urls absent
             # from the pages table are fetch failures (404s of the stand-in)
@@ -592,6 +594,13 @@ def crawl(
         if wave == 2:
             wave_timings[wave]["pages_ok"] = int(pages_ok)
             wave_timings[wave]["pages_err"] = int(pages_err)
+            # per-stage breakdown: extract_s = fetch+parse map up to the
+            # facts materialize barrier; merge_s = everything after
+            # (coalesce + merge shuffle + reduce + sink/consume) — the
+            # orchestration constant the scaling analysis tracks
+            wave_timings[wave]["extract_s"] = round(extract_s, 3)
+            wave_timings[wave]["merge_s"] = round(
+                time.monotonic() - t_stage - extract_s, 3)
         pages_fetched += n_admitted - skipped_pages
 
         if checkpoint_dir:

@@ -48,6 +48,12 @@ from ..schema import (
 _KEY_COLS = ("ticker", "cik", "accession", "filing_type", "filed_date")
 _STRUCTS = ("entity", "ops", "bs", "cf")
 _FACT_COLS = [fact_col(f) for f in FACT_FIELDS]
+# per-fact order-key columns carried by PARTIAL rows: the (doc priority,
+# report_num) rank of the batch-local first-nonzero winner, encoded as one
+# int64 (prio << 32 | repnum — total order, min = winner); the sentinel
+# means "no nonzero value seen in this partial"
+_ORD_COLS = [f"ord__{c}" for c in _FACT_COLS]
+_ORD_SENT = np.int64(1) << np.int64(62)
 
 
 def _add_bucket(num_buckets: int):
@@ -60,6 +66,135 @@ def _add_bucket(num_buckets: int):
         return batch.append_column("merge_bucket", pa.array(b, pa.int32()))
 
     return add
+
+
+def partial_merge_batch(num_buckets: int):
+    """Combiner BEFORE the merge shuffle: collapse each batch's rows per
+    accession into one partial row (first-nonzero value + its order key per
+    fact, OR'd presence bits). Page rows of one filing are usually
+    co-batched (the fetch preserves frontier locality), so the shuffle
+    ships ~1 row per accession instead of ~1 per page — the all-to-all
+    moves a fraction of the bytes and the final merge reduces partials.
+    Associative and exact: the final reduce picks the global min order key
+    per fact, identical to sorting all pages (see merge_bucket_group's
+    equivalence note)."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty_partial()
+        acc = np.asarray(t["accession"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(acc, return_inverse=True)
+        prio = np.fromiter(
+            (DOC_MERGE_PRIORITY.get(d, 99)
+             for d in t["doc_type"].to_pylist()),
+            dtype=np.int64, count=n,
+        )
+        repnum = t["report_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ordkey = (prio << np.int64(32)) | repnum
+        order = np.lexsort((ordkey, inv))
+        inv_s, key_s = inv[order], ordkey[order]
+        starts = np.nonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])[0]
+        g = len(uniq)
+        idx = np.arange(n)
+        out: dict[str, object] = {}
+        first_rows = pa.array(order[starts], pa.int64())
+        for c in _KEY_COLS:
+            out[c] = t[c].take(first_rows)
+        for c, oc in zip(_FACT_COLS, _ORD_COLS):
+            v = t[c].to_numpy(zero_copy_only=False)[order]
+            pos = np.where(v != 0, idx, n)
+            first = np.minimum.reduceat(pos, starts)
+            hit = first < n
+            safe = np.minimum(first, n - 1)
+            out[c] = pa.array(np.where(hit, v[safe], 0.0), pa.float64())
+            out[oc] = pa.array(np.where(hit, key_s[safe], _ORD_SENT),
+                               pa.int64())
+        for s in _STRUCTS:
+            b = t[f"collected_{s}"].to_numpy(
+                zero_copy_only=False).astype(np.uint64)[order]
+            out[f"collected_{s}"] = pa.array(
+                np.bitwise_or.reduceat(b, starts).astype(np.int64),
+                pa.int64())
+        bucket = np.fromiter(
+            (zlib.crc32(a.encode()) % num_buckets for a in uniq),
+            dtype=np.int32, count=g,
+        )
+        out["merge_bucket"] = pa.array(bucket, pa.int32())
+        return pa.table(out)
+
+    return combine
+
+
+def _empty_partial() -> pa.Table:
+    cols: dict[str, pa.Array] = {c: pa.array([], pa.string())
+                                 for c in _KEY_COLS}
+    for c, oc in zip(_FACT_COLS, _ORD_COLS):
+        cols[c] = pa.array([], pa.float64())
+        cols[oc] = pa.array([], pa.int64())
+    for s in _STRUCTS:
+        cols[f"collected_{s}"] = pa.array([], pa.int64())
+    cols["merge_bucket"] = pa.array([], pa.int32())
+    return pa.table(cols)
+
+
+def merge_partial_group(group: pa.Table) -> pa.Table:
+    """Final reduce over PARTIAL rows of one hash bucket: per accession and
+    fact, the value whose order key is the global minimum (ties impossible —
+    (prio, repnum) is unique within an accession); presence bits OR. Then
+    the same generation + validation as merge_bucket_group."""
+    n = group.num_rows
+    if n == 0:
+        return _empty_wide()
+    acc = np.asarray(group["accession"].to_pylist(), dtype=object)
+    uniq, inv = np.unique(acc, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    inv_s = inv[order]
+    starts = np.nonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])[0]
+    g = len(uniq)
+    seg_id = np.cumsum(np.r_[True, inv_s[1:] != inv_s[:-1]]) - 1
+    idx = np.arange(n)
+
+    merged_vals: dict[str, np.ndarray] = {}
+    for c, oc in zip(_FACT_COLS, _ORD_COLS):
+        v = group[c].to_numpy(zero_copy_only=False)[order]
+        k = group[oc].to_numpy(zero_copy_only=False)[order]
+        kmin = np.minimum.reduceat(k, starts)
+        # first position holding the min key within each segment
+        pos = np.where(k == kmin[seg_id], idx, n)
+        first = np.minimum.reduceat(pos, starts)
+        hit = kmin < _ORD_SENT
+        merged_vals[c] = np.where(hit, v[np.minimum(first, n - 1)], 0.0)
+    bits: dict[str, np.ndarray] = {}
+    for s in _STRUCTS:
+        b = group[f"collected_{s}"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)[order]
+        bits[s] = np.bitwise_or.reduceat(b, starts)
+
+    key_idx = pa.array(order[starts], pa.int64())
+    out: dict[str, object] = {c: group[c].take(key_idx) for c in _KEY_COLS}
+
+    # generation + validation per merged filing (mutates values/bits in place)
+    ft_list = out["filing_type"].to_pylist()
+    errs: list[str] = []
+    for i in range(g):
+        fr = new_financial_report(ft_list[i])
+        for f, c in zip(FACT_FIELDS, _FACT_COLS):
+            fr[f.struct][f.name] = float(merged_vals[c][i])
+        for s in _STRUCTS:
+            fr[s]["CollectedData"] = int(bits[s][i])
+        errs.append(validate_financial_report(fr))
+        for f, c in zip(FACT_FIELDS, _FACT_COLS):
+            merged_vals[c][i] = fr[f.struct][f.name]
+        for s in _STRUCTS:
+            bits[s][i] = fr[s]["CollectedData"]
+
+    for c in _FACT_COLS:
+        out[c] = pa.array(merged_vals[c], pa.float64())
+    for s in _STRUCTS:
+        out[f"collected_{s}"] = pa.array(bits[s].astype(np.int64), pa.int64())
+    out["validation_error"] = pa.array(errs, pa.string())
+    return pa.table(out)
 
 
 def merge_bucket_group(group: pa.Table) -> pa.Table:
@@ -130,11 +265,14 @@ def _empty_wide() -> pa.Table:
 
 def merge_facts(facts_raw_ds, num_buckets: int = 64):
     """facts_raw Dataset -> filings_facts Dataset (shuffle #1, key =
-    hash-bucket of accession)."""
+    hash-bucket of accession). The partial combiner runs map-side, so the
+    all-to-all ships ~1 partial row per (batch, accession) instead of one
+    row per page."""
     return (
-        facts_raw_ds.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
+        facts_raw_ds.map_batches(partial_merge_batch(num_buckets),
+                                 batch_format="pyarrow")
         .groupby("merge_bucket")
-        .map_groups(merge_bucket_group, batch_format="pyarrow")
+        .map_groups(merge_partial_group, batch_format="pyarrow")
     )
 
 

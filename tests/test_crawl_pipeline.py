@@ -397,3 +397,60 @@ def test_distributed_admission_resume(corpus, tmp_path, ray_session):
     facts = resumed.filings_facts.to_pandas()
     gold = pq.read_table(corpus["filings_golden"]).to_pandas()
     assert len(facts) == len(gold)
+
+
+def test_partial_merge_equals_per_page_merge(ray_session):
+    """The map-side partial combiner + final partial reduce produces output
+    identical to the legacy one-row-per-page merge, INCLUDING an accession
+    whose pages are split across input batches (the cross-batch partial
+    case) and priority inversions / all-zero facts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from edgar_ray.schema import DOC_BS, DOC_CF, DOC_EN, DOC_OPS, FACT_FIELDS, fact_col
+    from edgar_ray.stages.extract import FACTS_RAW_FIELDS
+    from edgar_ray.stages.merge import (_add_bucket, merge_bucket_group,
+                                        merge_facts)
+
+    fact_cols = [fact_col(f) for f in FACT_FIELDS]
+    rng = np.random.default_rng(42)
+
+    def page_row(ticker, acc, doc_type, repnum, nonzero_frac=0.5):
+        row = {"ticker": ticker, "cik": f"c{ticker}", "accession": acc,
+               "filing_type": "10-K", "filed_date": "2020-01-02",
+               "doc_type": doc_type, "report_num": repnum}
+        for c in fact_cols:
+            row[c] = float(rng.integers(1, 500)) if rng.random() < nonzero_frac else 0.0
+        for s in ("entity", "ops", "bs", "cf"):
+            row[f"collected_{s}"] = int(rng.integers(0, 64))
+        return row
+
+    rows = []
+    for t in range(6):
+        for a in range(3):
+            acc = f"000{t}-{a}"
+            for rn, dt in enumerate([DOC_EN, DOC_OPS, DOC_BS, DOC_CF]):
+                rows.append(page_row(f"T{t}", acc, dt, rn))
+    # an accession with every fact zero everywhere
+    rows.append(page_row("T0", "0000-zero", DOC_BS, 0, nonzero_frac=0.0))
+    schema = pa.schema([(n, typ) for n, typ in FACTS_RAW_FIELDS])
+
+    def tbl(rs):
+        return pa.Table.from_pylist(rs, schema=schema)
+
+    # split so accession "0002-1" (and others) straddle the batch boundary
+    cut = len(rows) // 2 + 1
+    split_ds = rd.from_arrow([tbl(rows[:cut]), tbl(rows[cut:])])
+    legacy = (rd.from_arrow(tbl(rows))
+              .map_batches(_add_bucket(16), batch_format="pyarrow")
+              .groupby("merge_bucket")
+              .map_groups(merge_bucket_group, batch_format="pyarrow")
+              .to_pandas().sort_values("accession").reset_index(drop=True))
+    new = (merge_facts(split_ds, num_buckets=16)
+           .to_pandas().sort_values("accession").reset_index(drop=True))
+    legacy = legacy[sorted(legacy.columns)]
+    new = new[sorted(new.columns)]
+    assert list(legacy.columns) == list(new.columns)
+    for c in legacy.columns:
+        assert (legacy[c].to_numpy() == new[c].to_numpy()).all(), c
