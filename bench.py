@@ -201,6 +201,18 @@ def run_scaling() -> dict:
     st_lo = lo["crawl"].get("steady_pages_per_sec") or 0.0
     st_hi = hi["crawl"].get("steady_pages_per_sec") or 0.0
     eff_steady = (st_hi / (4.0 * st_lo)) if st_lo else 0.0
+    # per-stage attribution of the steady-state wave: extract_s is the pure
+    # fetch+parse map (the measured memory-bandwidth-bound term on this box);
+    # merge_s is the partial-combine + shuffle + reduce + consume tail. The
+    # per-stage efficiencies show WHERE the residual vs the 0.8 bar lives.
+    w2_lo = lo["crawl"].get("wave_timings", {}).get("2", {})
+    w2_hi = hi["crawl"].get("wave_timings", {}).get("2", {})
+    stage_eff = {}
+    for k in ("extract_s", "merge_s"):
+        a, b = w2_lo.get(k), w2_hi.get(k)
+        if a and b:
+            stage_eff[k.replace("_s", "_scaling_efficiency")] = round(
+                (a / b) / 4.0, 3)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff_crawl, 3),
@@ -218,6 +230,9 @@ def run_scaling() -> dict:
         "headline_scaling_efficiency": round(eff_total, 3),
         "queries_8": lo["queries"],
         "queries_32": hi["queries"],
+        "wave2_8": w2_lo,
+        "wave2_32": w2_hi,
+        **stage_eff,
     }
 
 

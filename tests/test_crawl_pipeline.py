@@ -454,3 +454,42 @@ def test_partial_merge_equals_per_page_merge(ray_session):
     assert list(legacy.columns) == list(new.columns)
     for c in legacy.columns:
         assert (legacy[c].to_numpy() == new[c].to_numpy()).all(), c
+
+
+def test_class_partitioned_pages_source(corpus, result, tmp_path, ray_session):
+    """The one-time class-partitioned layout + wave-pruned factory produce a
+    crawl byte-identical to the flat-table path: same crawl order, same
+    facts. The layout is lossless (row counts per class sum to the input)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from edgar_ray.sources.pages_layout import (class_factory,
+                                                partition_pages_by_class)
+
+    layout = str(tmp_path / "pages_by_class")
+    stats = partition_pages_by_class(corpus["pages"], layout)
+    n_in = pq.read_table(corpus["pages"], columns=["url"]).num_rows
+    assert stats["rows"] == n_in
+    assert sum(stats["classes"].values()) == n_in
+    # classes 0/1/2 populated; robots.txt lands in class 3
+    assert set(stats["classes"]) == {0, 1, 2, 3}
+    assert stats["classes"][3] == 1
+
+    seeds = pq.read_table(corpus["seed_tickers"])
+    res2 = crawl(corpus["pages"], seeds,
+                 pages_ds_factory=class_factory(layout),
+                 num_shards=2, host_budget=10.0)
+    golden = pq.read_table(corpus["crawl_order_golden"])
+    got = res2.crawl_order.sort_by([("seq", "ascending")])
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    assert got["seq"].to_pylist() == golden["seq"].to_pylist()
+    facts = res2.filings_facts.to_pandas().sort_values(
+        "accession").reset_index(drop=True)
+    base = result.filings_facts.to_pandas().sort_values(
+        "accession").reset_index(drop=True)
+    assert len(facts) == len(base)
+    for c in base.columns:
+        assert (facts[c].fillna(0) == base[c].fillna(0)).all(), c
+    # idempotent re-run serves the cached layout
+    assert partition_pages_by_class(corpus["pages"], layout)["cached"]
