@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -159,14 +158,20 @@ def knn_batch(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5
         batch_format="pyarrow",
     )
 
-    def per_query_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        out = g[["query_idx", "vec_id"]].copy()
-        out["query_id"] = [query_ids[int(q)] for q in out["query_idx"]]
-        return out[["query_id", "vec_id"]]
+    qid_lookup = np.asarray(query_ids, dtype=np.int64)
+
+    def per_query_topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[("cos", "descending"),
+                                            ("vec_id", "ascending")])[:k]
+        g = t.take(idx)
+        qids = qid_lookup[g["query_idx"].to_numpy(zero_copy_only=False)]
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "vec_id": g["vec_id"]})
 
     return partial.groupby("query_idx").map_groups(per_query_topk,
-                                                   batch_format="pandas")
+                                                   batch_format="pyarrow")
 
 
 class _IvfAssign:
