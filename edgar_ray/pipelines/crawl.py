@@ -278,6 +278,7 @@ def crawl(
     live_transport=None,
     live_clock=None,
     merge_partitions: int | None = 32,
+    merge_num_buckets: int = 64,
     stop_after_wave: int | None = None,
     respect_robots: bool = True,
     consume_facts: bool = False,
@@ -384,7 +385,7 @@ def crawl(
                     fr = rd.read_parquet(facts_dir)
                     if merge_partitions:
                         fr = fr.repartition(merge_partitions)
-                    facts_ds0 = merge_facts(fr)
+                    facts_ds0 = merge_facts(fr, num_buckets=merge_num_buckets)
 
 
     t0 = time.monotonic()
@@ -533,21 +534,29 @@ def crawl(
             # the executor's resource reservations (measured 3-5x wall time)
             candidates = parsed.materialize()
         else:
-            facts_raw = fetched.map_batches(extract_facts, batch_format="pyarrow")
-            # Materialize the PARSED facts (one ~100-byte row per page — the
-            # heavily-reduced derivative, NOT the page bytes) before the merge
-            # shuffle: it decouples the map phase from the two all-to-all ops
-            # (repartition + groupby sort), which otherwise share one
-            # streaming plan and thrash its resource reservations at low
-            # parallelism (5x wall time at 8 cpus), and it is the natural
-            # wave-2 checkpoint boundary.
+            from ..stages.merge import partial_merge_batch
+
+            # The per-accession partial combiner is FUSED into the extract
+            # plan (same TaskPoolMapOperator chain, no extra pass): what
+            # materializes/checkpoints is ~1 partial row per (batch,
+            # accession) — a fraction of one-row-per-page — and the merge
+            # shuffle consumes the partials directly. Materializing here
+            # still decouples the heavy fetch+parse map from the merge
+            # all-to-alls (sharing one streaming plan thrashes executor
+            # resource reservations — measured 5x wall at 8 cpus) and is
+            # the natural wave-2 checkpoint boundary.
+            facts_raw = fetched.map_batches(
+                extract_facts, batch_format="pyarrow"
+            ).map_batches(
+                partial_merge_batch(merge_num_buckets, count_pages=True),
+                batch_format="pyarrow")
             t_stage = time.monotonic()
             facts_raw = facts_raw.materialize()
             extract_s = time.monotonic() - t_stage
-            # fetch accounting (lineage: pages_ok/pages_err): one facts_raw
-            # row per successfully fetched+parsed page; admitted urls absent
+            # fetch accounting (lineage: pages_ok/pages_err): each partial
+            # carries how many page rows it collapsed; admitted urls absent
             # from the pages table are fetch failures (404s of the stand-in)
-            pages_ok = facts_raw.count()
+            pages_ok = int(facts_raw.sum("pages_in_partial") or 0)
             pages_err = int(n_admitted - skipped_pages) - pages_ok
             if checkpoint_dir:
                 # wave-2 facts checkpoint: the compact parsed form (one
@@ -572,7 +581,7 @@ def crawl(
             # this is a no-op and can be disabled with merge_partitions=None)
             if merge_partitions:
                 facts_raw = facts_raw.repartition(merge_partitions)
-            facts_ds = merge_facts(facts_raw)
+            facts_ds = merge_facts(facts_raw, num_buckets=merge_num_buckets)
             if output_dir:
                 # warehouse sink: ticker-partitioned resumable Parquet
                 # (S7; finished partitions skip on a re-run)

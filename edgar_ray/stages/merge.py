@@ -68,7 +68,7 @@ def _add_bucket(num_buckets: int):
     return add
 
 
-def partial_merge_batch(num_buckets: int):
+def partial_merge_batch(num_buckets: int, count_pages: bool = False):
     """Combiner BEFORE the merge shuffle: collapse each batch's rows per
     accession into one partial row (first-nonzero value + its order key per
     fact, OR'd presence bits). Page rows of one filing are usually
@@ -77,12 +77,17 @@ def partial_merge_batch(num_buckets: int):
     moves a fraction of the bytes and the final merge reduces partials.
     Associative and exact: the final reduce picks the global min order key
     per fact, identical to sorting all pages (see merge_bucket_group's
-    equivalence note)."""
+    equivalence note).
+
+    ``count_pages=True`` adds a ``pages_in_partial`` column (source rows
+    collapsed into each partial) so a caller that fuses this combiner into
+    the extract map can still account fetched pages with a cheap column sum
+    over the partials instead of materializing one row per page."""
 
     def combine(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return _empty_partial()
+            return _empty_partial(count_pages)
         acc = np.asarray(t["accession"].to_pylist(), dtype=object)
         uniq, inv = np.unique(acc, return_inverse=True)
         prio = np.fromiter(
@@ -121,12 +126,15 @@ def partial_merge_batch(num_buckets: int):
             dtype=np.int32, count=g,
         )
         out["merge_bucket"] = pa.array(bucket, pa.int32())
+        if count_pages:
+            out["pages_in_partial"] = pa.array(
+                np.bincount(inv, minlength=g).astype(np.int64), pa.int64())
         return pa.table(out)
 
     return combine
 
 
-def _empty_partial() -> pa.Table:
+def _empty_partial(count_pages: bool = False) -> pa.Table:
     cols: dict[str, pa.Array] = {c: pa.array([], pa.string())
                                  for c in _KEY_COLS}
     for c, oc in zip(_FACT_COLS, _ORD_COLS):
@@ -135,6 +143,8 @@ def _empty_partial() -> pa.Table:
     for s in _STRUCTS:
         cols[f"collected_{s}"] = pa.array([], pa.int64())
     cols["merge_bucket"] = pa.array([], pa.int32())
+    if count_pages:
+        cols["pages_in_partial"] = pa.array([], pa.int64())
     return pa.table(cols)
 
 
@@ -267,11 +277,20 @@ def merge_facts(facts_raw_ds, num_buckets: int = 64):
     """facts_raw Dataset -> filings_facts Dataset (shuffle #1, key =
     hash-bucket of accession). The partial combiner runs map-side, so the
     all-to-all ships ~1 partial row per (batch, accession) instead of one
-    row per page."""
+    row per page. Input may be per-page rows OR already-combined partials
+    (a caller that fused ``partial_merge_batch`` into its extract plan —
+    detected by the ``ord__*`` order-key columns); partials skip straight
+    to the shuffle."""
+    names = facts_raw_ds.schema().names
+    if any(n.startswith("ord__") for n in names):
+        partials = facts_raw_ds
+        if "pages_in_partial" in names:
+            partials = partials.drop_columns(["pages_in_partial"])
+    else:
+        partials = facts_raw_ds.map_batches(partial_merge_batch(num_buckets),
+                                            batch_format="pyarrow")
     return (
-        facts_raw_ds.map_batches(partial_merge_batch(num_buckets),
-                                 batch_format="pyarrow")
-        .groupby("merge_bucket")
+        partials.groupby("merge_bucket")
         .map_groups(merge_partial_group, batch_format="pyarrow")
     )
 
