@@ -493,3 +493,52 @@ def test_class_partitioned_pages_source(corpus, result, tmp_path, ray_session):
         assert (facts[c].fillna(0) == base[c].fillna(0)).all(), c
     # idempotent re-run serves the cached layout
     assert partition_pages_by_class(corpus["pages"], layout)["cached"]
+
+
+def test_merge_facts_accepts_precombined_partials(ray_session):
+    """merge_facts on input already run through partial_merge_batch (the
+    fused wave-2 extract plan: count_pages=True, partials straddling batch
+    boundaries) equals merge_facts on the per-page rows, and the
+    pages_in_partial column both sums to the page count and never reaches
+    the output."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from edgar_ray.schema import DOC_BS, DOC_CF, DOC_EN, DOC_OPS, FACT_FIELDS, fact_col
+    from edgar_ray.stages.extract import FACTS_RAW_FIELDS
+    from edgar_ray.stages.merge import merge_facts, partial_merge_batch
+
+    fact_cols = [fact_col(f) for f in FACT_FIELDS]
+    rng = np.random.default_rng(7)
+    rows = []
+    for t in range(5):
+        for a in range(3):
+            acc = f"111{t}-{a}"
+            for rn, dt in enumerate([DOC_EN, DOC_OPS, DOC_BS, DOC_CF]):
+                row = {"ticker": f"T{t}", "cik": f"c{t}", "accession": acc,
+                       "filing_type": "10-Q", "filed_date": "2021-03-31",
+                       "doc_type": dt, "report_num": rn}
+                for c in fact_cols:
+                    row[c] = (float(rng.integers(1, 900))
+                              if rng.random() < 0.5 else 0.0)
+                for s in ("entity", "ops", "bs", "cf"):
+                    row[f"collected_{s}"] = int(rng.integers(0, 64))
+                rows.append(row)
+    schema = pa.schema([(n, typ) for n, typ in FACTS_RAW_FIELDS])
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    cut = len(rows) // 2 + 3  # accessions straddle the batch boundary
+    combine = partial_merge_batch(16, count_pages=True)
+    p1, p2 = combine(tbl.slice(0, cut)), combine(tbl.slice(cut))
+    assert (sum(p1["pages_in_partial"].to_pylist())
+            + sum(p2["pages_in_partial"].to_pylist())) == len(rows)
+    fused = (merge_facts(rd.from_arrow([p1, p2]), num_buckets=16)
+             .to_pandas().sort_values("accession").reset_index(drop=True))
+    assert "pages_in_partial" not in fused.columns
+    per_page = (merge_facts(rd.from_arrow(tbl), num_buckets=16)
+                .to_pandas().sort_values("accession").reset_index(drop=True))
+    fused = fused[sorted(fused.columns)]
+    per_page = per_page[sorted(per_page.columns)]
+    assert list(fused.columns) == list(per_page.columns)
+    for c in fused.columns:
+        assert (fused[c].to_numpy() == per_page[c].to_numpy()).all(), c
