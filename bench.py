@@ -153,43 +153,53 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
+def run_scaling(repeat: int = 1) -> dict:
     """Fresh-process runs at 8 and 32 CPUs on identical input.
 
     Each leg is CPU-PINNED (taskset) to exactly its core count: Ray's
     ``num_cpus`` only limits TASK slots — raylet/plasma/Arrow helper threads
     otherwise leak onto all 32 physical cores and inflate the small leg's
     throughput, understating the true N-core-node vs 4N-core-node ratio the
-    north rule asks for. Pinning makes the 8-CPU leg an honest 8-core node."""
+    north rule asks for. Pinning makes the 8-CPU leg an honest 8-core node.
+
+    ``repeat > 1`` (protocol v3) runs the legs ALTERNATING (8, 32, 8, 32, …)
+    and scores the ratio from each leg's fastest sample: this shared box's
+    host-level contention drifts 25-50% across minutes and does NOT hit both
+    legs of one pass equally, so a single-pass ratio can swing ±0.15. The
+    per-leg minimum approximates each configuration's uncontended capability
+    (the quantity the north rule's two-cluster criterion is about); all
+    samples are reported alongside so the noise floor stays visible."""
     import shutil as _shutil
 
-    results = {}
+    samples: dict[int, list] = {8: [], 32: []}
     have_taskset = _shutil.which("taskset") is not None
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_MODE="crawl",
-                   GRAFT_BENCH_CORPUS=SCALING_CORPUS)
-        cmd = [sys.executable, os.path.abspath(__file__)]
-        if have_taskset:
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
-        out = subprocess.run(
-            cmd, env=env,
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        # settle barrier: the previous leg's raylet/plasma teardown (GBs of
-        # object store) overlaps the next leg's startup otherwise, inflating
-        # the second measurement
-        deadline = time.monotonic() + 30
-        while time.monotonic() < deadline:
-            probe = subprocess.run(["pgrep", "-f", "raylet"],
-                                   capture_output=True, text=True)
-            if probe.returncode != 0:
-                break
-            time.sleep(1)
-        time.sleep(5)
-    lo, hi = results[8], results[32]
+    for _ in range(max(1, repeat)):
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_MODE="crawl",
+                       GRAFT_BENCH_CORPUS=SCALING_CORPUS)
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            if have_taskset:
+                cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            out = subprocess.run(
+                cmd, env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            samples[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+            # settle barrier: the previous leg's raylet/plasma teardown (GBs
+            # of object store) overlaps the next leg's startup otherwise,
+            # inflating the second measurement
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline:
+                probe = subprocess.run(["pgrep", "-f", "raylet"],
+                                       capture_output=True, text=True)
+                if probe.returncode != 0:
+                    break
+                time.sleep(1)
+            time.sleep(5)
+    lo = min(samples[8], key=lambda d: d["value"])
+    hi = min(samples[32], key=lambda d: d["value"])
     # throughput = crawl pages parsed per second (the north-rule metric)
     thr_lo = lo["crawl"]["pages_parsed_per_sec"]
     thr_hi = hi["crawl"]["pages_parsed_per_sec"]
@@ -233,13 +243,19 @@ def run_scaling() -> dict:
         "wave2_8": w2_lo,
         "wave2_32": w2_hi,
         **stage_eff,
+        "repeat": max(1, repeat),
+        "samples_sec_8": [d["value"] for d in samples[8]],
+        "samples_sec_32": [d["value"] for d in samples[32]],
     }
 
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        rep = 1
+        if "--repeat" in sys.argv:
+            rep = int(sys.argv[sys.argv.index("--repeat") + 1])
+        print(json.dumps(run_scaling(repeat=rep)))
     else:
         result = run_bench()
         import ray

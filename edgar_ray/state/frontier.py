@@ -46,6 +46,16 @@ from .cuckoo import CuckooFilter, GrowableCuckoo, hash_urls
 
 PRIORITY_COLS = ("seed_rank", "filing_type", "filed_date", "report_num", "url")
 
+# Distributed admission would otherwise stack two all-to-alls in one
+# streaming plan (the dedup groupby's sort-shuffle, then the global priority
+# sort) — a pattern that measurably thrashes executor resource reservations
+# at low parallelism (NOTES.md round-1 learning #4). Materializing the
+# REDUCED admitted metadata between them (metadata-sized — the candidate
+# html never enters this plan) cut wave-2 admit ~11% at 8 pinned CPUs and
+# never lost at 32 in a same-process A/B on the 1.77M-page corpus
+# (NOTES.md round-3 experiments). Flag kept for A/B reproducibility.
+ADMIT_MATERIALIZE_BETWEEN = True
+
 
 def shard_of(host: str, num_shards: int) -> int:
     """Legacy host-hash routing (kept for host-owner components like robots
@@ -454,6 +464,11 @@ class Frontier:
                 batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(bucket_admit, batch_format="pyarrow")
+        )
+        if ADMIT_MATERIALIZE_BETWEEN:
+            admitted = admitted.materialize()
+        admitted = (
+            admitted
             .sort(["seed_rank", "filing_type", "_date_int", "report_num",
                    "url_canon_hash"],
                   descending=[False, False, True, False, False])
