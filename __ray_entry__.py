@@ -254,12 +254,16 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "text_quality_filter": text.quality_filter,
         "text_langid": text.langid,
         "text_fingerprint": text.fingerprints,
-        # dataset curation (split / sample / profile / leakage)
+        "text_vocabulary": text.vocabulary,
+        "text_pii_scrub": text.pii_scrub,
+        # dataset curation (split / sample / profile / leakage / mixing)
         "curation_train_test_split": sampling.train_test_split,
         "curation_sample_stratified": sampling.sample_stratified,
         "curation_length_buckets": sampling.length_buckets,
         "curation_contamination": sampling.contamination_summary,
         "curation_dedup_rate": sampling.dedup_rate,
+        "curation_mix_weights": sampling.mix_weights_summary,
+        "curation_mix_emit": sampling.mix_by_weight,
         # multimodal plumbing
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_features": multimodal.extract_features,
@@ -407,6 +411,30 @@ def extra_oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_all() -> dict[str, str]:
+    # The PII twin nests one regexp stage per pattern, composed from the SAME
+    # constants the Ray kernel uses (both sides are RE2, so match semantics
+    # are identical; patterns contain no single quotes by construction).
+    from edgar_ray.pipelines.text import PII_PATTERNS
+
+    (e_pat, e_rep), (p_pat, p_rep), (i_pat, i_rep) = PII_PATTERNS
+    _PII_ORACLE_SQL = f"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{e_pat}')) AS n1,
+                 regexp_replace(text, '{e_pat}', '{e_rep}', 'g') AS t1
+          FROM documents
+        ), s2 AS (
+          SELECT doc_id, n1,
+                 len(regexp_extract_all(t1, '{p_pat}')) AS n2,
+                 regexp_replace(t1, '{p_pat}', '{p_rep}', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               CAST(n1 + n2 + len(regexp_extract_all(t2, '{i_pat}'))
+                 AS BIGINT) AS n_pii,
+               regexp_replace(t2, '{i_pat}', '{i_rep}', 'g') AS text_clean
+        FROM s2
+    """
     return _crawl_oracle_sql() | {
         "q1_pricing_summary": """
             WITH c AS (
@@ -702,6 +730,48 @@ def _oracle_sql_all() -> dict[str, str]:
                        AS n_contaminated
             FROM h GROUP BY source
         """,
+        "curation_mix_weights": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CAST(md5_number_lower(source) % 8 AS BIGINT) + 1 AS widx
+              FROM documents
+            ), e AS (
+              SELECT source,
+                     widx // 4
+                     + CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                                 % 10000 < (widx % 4) * 2500
+                            THEN 1 ELSE 0 END AS n_copies
+              FROM w)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_copies) AS BIGINT) AS n_emitted
+            FROM e GROUP BY source
+        """,
+        "curation_mix_emit": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CAST(md5_number_lower(source) % 8 AS BIGINT) + 1 AS widx
+              FROM documents
+            ), e AS (
+              SELECT doc_id, source,
+                     widx // 4
+                     + CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                                 % 10000 < (widx % 4) * 2500
+                            THEN 1 ELSE 0 END AS n_copies
+              FROM w)
+            SELECT doc_id, source, CAST(UNNEST(range(n_copies)) AS BIGINT)
+                       AS epoch
+            FROM e WHERE n_copies > 0
+        """,
+        "text_vocabulary": """
+            WITH t AS (
+              SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+            SELECT word, count(*) AS n_occurrences
+            FROM t WHERE word <> ''
+            GROUP BY word
+            ORDER BY n_occurrences DESC, word
+            LIMIT 200
+        """,
+        "text_pii_scrub": _PII_ORACLE_SQL,
         "multimodal_frame_meta": """
             WITH v AS (
               SELECT doc_id AS item_id,

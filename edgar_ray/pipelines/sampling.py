@@ -267,3 +267,65 @@ def dedup_rate(sf_dir: str):
     return agg.map_batches(
         lambda t: t.select(["source", "n_docs", "n_distinct"]),
         batch_format="pyarrow")
+
+
+# -- deterministic source mixing -------------------------------------------
+
+# The mix weight of a source is a pure function of its NAME (md5 parity with
+# the DuckDB oracle): w = (md5_low64(source) % 8 + 1) * 0.25 ∈ {0.25 … 2.0}.
+# Weights > 1 mean upsampling with repetition (extra epochs), < 1 mean
+# deterministic downsampling — the LLM data-mixing primitive, reproducible
+# under any partitioning because membership depends only on (source, doc_id).
+
+def _mix_copies(t: pa.Table) -> np.ndarray:
+    """Per-row emit count: floor(w) copies + 1 more iff
+    md5_low64(doc_id) % 10000 < frac(w) * 10000 (exact integer arithmetic —
+    frac(w) ∈ {0, .25, .5, .75} so the threshold is a whole number)."""
+    widx = (_md5_low64(t["source"].to_pylist()) % np.uint64(8)).astype(
+        np.int64) + 1
+    base = widx // 4
+    thresh = (widx % 4) * 2500
+    h = (_md5_low64(t["doc_id"].to_pylist()) % np.uint64(10000)).astype(
+        np.int64)
+    return base + (h < thresh).astype(np.int64)
+
+
+def mix_by_weight(sf_dir: str):
+    """The mixed dataset itself: each doc row repeated ``copies`` times with
+    an ``epoch`` column (0 … copies-1) — what a training run consumes.
+    Vectorized repetition via ``Table.take(np.repeat(...))``; docs whose
+    source downsamples away emit zero rows."""
+    def emit(t: pa.Table) -> pa.Table:
+        copies = _mix_copies(t)
+        idx = np.repeat(np.arange(t.num_rows), copies)
+        epoch = np.concatenate(
+            [np.arange(c) for c in copies]) if len(idx) else np.array(
+                [], dtype=np.int64)
+        out = t.select(["doc_id", "source"]).take(pa.array(idx, pa.int64()))
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        emit, batch_format="pyarrow")
+
+
+def mix_weights_summary(sf_dir: str):
+    """Oracle surface for the mix: per source, input docs and emitted rows
+    (sum of per-doc copies). Non-empty on any corpus — one row per source —
+    and exactly equal to ``mix_by_weight``'s per-source output cardinality."""
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "copies": pa.array(_mix_copies(t), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (_docs(sf_dir, ["doc_id", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("one", alias_name="n_docs"),
+                      Sum("copies", alias_name="n_emitted")))
+    return agg.map_batches(
+        lambda t: t.select(["source", "n_docs", "n_emitted"]),
+        batch_format="pyarrow")

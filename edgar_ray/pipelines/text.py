@@ -413,3 +413,79 @@ def fingerprints(sf_dir: str):
         lambda t: _cached(Fingerprinter)(t), batch_format="pyarrow",
         batch_size=1024,
     )
+
+
+# -- global vocabulary ------------------------------------------------------
+
+def vocabulary(sf_dir: str, top_n: int = 200):
+    """Global word-frequency table (top ``top_n`` by count desc, word asc) —
+    the corpus-statistics / tokenizer-training primitive. Per-batch partial
+    counts (split → ``np.unique``) are the map-side combine that keeps the
+    Zipfian word key space from flooding the groupby: the shuffle ships one
+    row per distinct word per block, never one per occurrence. Post-agg the
+    vocabulary is small, so the desc sort + limit run on a reduced table.
+
+    Tokenization contract (shared with the DuckDB oracle): split on single
+    spaces, drop empty tokens."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        if texts:
+            words = np.concatenate(
+                [np.array(s.split(" "), dtype=object) for s in texts])
+            words = words[words != ""]
+        else:
+            words = np.array([], dtype=object)
+        uniq, counts = np.unique(words, return_counts=True)
+        return pa.table({
+            "word": pa.array(uniq.tolist(), pa.string()),
+            "n_occurrences": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("word")
+           .aggregate(Sum("n_occurrences", alias_name="n_occurrences")))
+    # (count desc, word asc) is a total order — the top_n cut is exact
+    return (agg.sort(["n_occurrences", "word"], descending=[True, False])
+            .limit(top_n))
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround) so the Arrow compute kernels and
+# the DuckDB oracle — both RE2 — match byte-for-byte. Applied in this order.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{9,19}\b", "<ID>"),
+)
+
+
+def pii_scrub(sf_dir: str):
+    """C4-style PII redaction over ``documents``: emails, phone-shaped
+    numbers and long ID digit runs replaced by typed placeholders, plus a
+    per-doc redaction count. Fully Arrow-native — both the count and the
+    replacement are RE2 kernels (`pyarrow.compute.count_substring_regex` /
+    `replace_substring_regex`), no Python per row."""
+    import pyarrow.compute as pc
+
+    def scrub(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        for pat, repl in PII_PATTERNS:
+            n += pc.count_substring_regex(col, pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            col = pc.replace_substring_regex(col, pat, repl)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_pii": pa.array(n, pa.int64()),
+            "text_clean": col,
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")

@@ -415,3 +415,83 @@ def test_quality_vectorized_equals_scalar(ray_session):
     out = qs(many).to_pandas()
     assert len(out) == qs.CHUNK + 7
     assert (out["n_words"] == 4).all()
+
+
+@pytest.fixture(scope="module")
+def pii_dir(tmp_path_factory, ray_session):
+    """documents.parquet with planted PII: emails, dashed/dotted phones,
+    long ID digit runs — and near-misses that must survive unredacted."""
+    out = tmp_path_factory.mktemp("pii")
+    rows = [
+        (0, "contact jane.doe+spam@example.co.uk or bob@corp.io today"),
+        (1, "call 555-867-5309 or 555.867.5309 after hours"),
+        (2, "card 4111111111111111 and ssn-ish 123456789 leak"),
+        (3, "clean text with number 1234 and word a@b (not an email)"),
+        (4, "mixed: a@b.com then 111-222-3333 then 98765432109876"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(str(out), "documents.parquet"))
+    return str(out)
+
+
+def test_pii_scrub_planted(pii_dir, ray_session):
+    from edgar_ray.pipelines.text import pii_scrub
+
+    got = {r["doc_id"]: r for r in pii_scrub(pii_dir).take_all()}
+    assert got[0]["text_clean"] == "contact <EMAIL> or <EMAIL> today"
+    assert got[0]["n_pii"] == 2
+    assert got[1]["text_clean"] == "call <PHONE> or <PHONE> after hours"
+    assert got[1]["n_pii"] == 2
+    assert got[2]["text_clean"] == "card <ID> and ssn-ish <ID> leak"
+    assert got[2]["n_pii"] == 2
+    # near-misses: short number and a@b (no dotted TLD) stay untouched
+    assert got[3]["text_clean"] == (
+        "clean text with number 1234 and word a@b (not an email)")
+    assert got[3]["n_pii"] == 0
+    assert got[4]["text_clean"] == "mixed: <EMAIL> then <PHONE> then <ID>"
+    assert got[4]["n_pii"] == 3
+
+
+def test_vocabulary_matches_counter(planted_dir, ray_session):
+    """Top-k vocabulary equals a brute-force Counter over the same
+    tokenization (single-space split, empties dropped), with the
+    (count desc, word asc) total order."""
+    from collections import Counter
+
+    from edgar_ray.pipelines.text import vocabulary
+
+    texts = pq.read_table(
+        os.path.join(planted_dir, "documents.parquet"))["text"].to_pylist()
+    c = Counter(w for t in texts for w in t.split(" ") if w)
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r["word"], r["n_occurrences"])
+           for r in vocabulary(planted_dir, top_n=25).take_all()]
+    assert got == want
+
+
+def test_mix_weights_emit_matches_summary(contaminated_dir, ray_session):
+    """The emitted mixed dataset's per-source cardinality equals the
+    summary's n_emitted; epochs are dense 0..copies-1 per doc; the mix is
+    deterministic across runs."""
+    from collections import Counter
+
+    from edgar_ray.pipelines.sampling import mix_by_weight, mix_weights_summary
+
+    rows = mix_by_weight(contaminated_dir).take_all()
+    summ = {r["source"]: (r["n_docs"], r["n_emitted"])
+            for r in mix_weights_summary(contaminated_dir).take_all()}
+    per_src = Counter(r["source"] for r in rows)
+    assert set(summ) == {"web", "books", "wiki"}
+    for s, (_, n_emitted) in summ.items():
+        assert per_src.get(s, 0) == n_emitted
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for eps in per_doc.values():
+        assert sorted(eps) == list(range(len(eps)))
+    rows2 = mix_by_weight(contaminated_dir).take_all()
+    key = lambda r: (r["doc_id"], r["epoch"])  # noqa: E731
+    assert sorted(rows, key=key) == sorted(rows2, key=key)
