@@ -9,6 +9,8 @@ stage (edgar_ray.stages.merge).
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..schema import (
     DOC_BS,
     DOC_CF,
@@ -18,6 +20,7 @@ from ..schema import (
     FACT_BY_TAG,
     STRICT_DATA_TO_DOC,
     STRUCT_FIELDS,
+    fact_col,
 )
 from .parse import (
     filing_scale,
@@ -130,6 +133,96 @@ def validate_financial_report(fr: dict) -> str:
         if err:
             ret += "Missing fields in " + doc + err + "\n"
     return ret
+
+
+def _go_round_vec(v: np.ndarray) -> np.ndarray:
+    """Vector twin of go_round: floor(x*100)/100; np.floor already passes
+    Inf/NaN through, matching the scalar's isfinite guard."""
+    return np.floor(v * 100.0) / 100.0
+
+
+def validate_reports_batch(
+    vals: dict[str, np.ndarray], bits: dict[str, np.ndarray]
+) -> np.ndarray:
+    """Vectorized twin of ``validate_financial_report`` over columnar
+    reports: ``vals[fact_col]`` float64 arrays and ``bits[struct]`` uint64
+    presence masks (both mutated in place, like the scalar's in-place
+    report mutation). Returns an object array of validation-error strings.
+
+    Equivalence argument (parity-tested exhaustively in
+    tests/test_merge.py): numpy float64 division IS ``go_div`` (IEEE-754:
+    x/0 = ±Inf with the copysign rule, 0/0 = NaN), so the WAShares
+    same-scale check and the Dps division reproduce the Go semantics
+    bitwise; the three generated fields (GrossMargin, OpExpense, Dps) read
+    only never-generated inputs, so computing them up front equals the
+    scalar's in-order generation; error strings concatenate per-field
+    flags in the same struct/field declaration order.
+    """
+    n = next(iter(vals.values())).shape[0]
+    one = vals[fact_col(FACT_BY_TAG["Shares Outstanding"])]
+    two = vals[fact_col(FACT_BY_TAG["Weighted Average Share Count"])]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        val = np.where(one < two, (two - one) / one, (one - two) / two)
+        same = val <= 1.0  # NaN compares False, matching the scalar
+        vals[fact_col(FACT_BY_TAG["Weighted Average Share Count"])] = \
+            np.where(same, two, one)
+
+        def col(tag: str) -> np.ndarray:
+            f = FACT_BY_TAG[tag]
+            return vals[fact_col(f)]
+
+        def got(tag: str) -> np.ndarray:
+            f = FACT_BY_TAG[tag]
+            return (bits[f.struct] & np.uint64(1 << f.bit)) != 0
+
+        gm = np.where(
+            got("Revenue") & got("Cost Of Revenue"),
+            col("Revenue") - col("Cost Of Revenue"), 0.0)
+        was = vals[fact_col(FACT_BY_TAG["Weighted Average Share Count"])]
+        neg_div = col("Dividends paid") * -1.0
+        dps = np.where(
+            got("Dividends paid") & got("Weighted Average Share Count"),
+            _go_round_vec(neg_div / was),
+            np.where(
+                got("Dividends paid") & got("Shares Outstanding"),
+                _go_round_vec(neg_div / col("Shares Outstanding")), 0.0))
+        opex = np.where(
+            got("Revenue") & got("Cost Of Revenue")
+            & got("Operational Income"),
+            _go_round_vec(col("Revenue") - col("Cost Of Revenue")
+                          - col("Operational Income")), 0.0)
+    gen_vals = {"GrossMargin": gm, "Dps": dps, "OpExpense": opex}
+
+    errs = np.full(n, "", dtype=object)
+    for struct, doc in (("bs", DOC_BS), ("entity", DOC_EN),
+                        ("cf", DOC_CF), ("ops", DOC_OPS)):
+        part = np.full(n, "", dtype=object)
+        b = bits[struct]
+        any_part = False
+        for f in STRUCT_FIELDS[struct]:
+            if not f.required:
+                continue
+            missing = (b & np.uint64(1 << f.bit)) == 0
+            if f.generate:
+                num = gen_vals[f.name]
+                hit = missing & (num != 0)  # NaN/Inf count as hits (scalar:
+                c = fact_col(f)             # `num == 0` is False for them)
+                vals[c] = np.where(hit, num, vals[c])
+                b = np.where(hit, b | np.uint64(1 << f.bit), b)
+                flag = missing & ~hit
+            else:
+                flag = missing
+            if flag.any():
+                part = np.where(flag, part + (f.name + ","), part)
+                any_part = True
+        bits[struct] = b
+        if any_part:
+            has = part != ""
+            errs = np.where(
+                has,
+                errs + ("Missing fields in " + doc + "[") + part + "]\n",
+                errs)
+    return errs
 
 
 def fin_report_parser(page: str | bytes, fr: dict, doc_type: str) -> dict:

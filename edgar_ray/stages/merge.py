@@ -37,7 +37,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.report import new_financial_report, validate_financial_report
+from ..functions.report import validate_reports_batch
 from ..schema import (
     DOC_MERGE_PRIORITY,
     FACT_FIELDS,
@@ -184,20 +184,10 @@ def merge_partial_group(group: pa.Table) -> pa.Table:
     key_idx = pa.array(order[starts], pa.int64())
     out: dict[str, object] = {c: group[c].take(key_idx) for c in _KEY_COLS}
 
-    # generation + validation per merged filing (mutates values/bits in place)
-    ft_list = out["filing_type"].to_pylist()
-    errs: list[str] = []
-    for i in range(g):
-        fr = new_financial_report(ft_list[i])
-        for f, c in zip(FACT_FIELDS, _FACT_COLS):
-            fr[f.struct][f.name] = float(merged_vals[c][i])
-        for s in _STRUCTS:
-            fr[s]["CollectedData"] = int(bits[s][i])
-        errs.append(validate_financial_report(fr))
-        for f, c in zip(FACT_FIELDS, _FACT_COLS):
-            merged_vals[c][i] = fr[f.struct][f.name]
-        for s in _STRUCTS:
-            bits[s][i] = fr[s]["CollectedData"]
+    # generation + validation, vectorized across the bucket's filings
+    # (validate_reports_batch is the parity-tested columnar twin of the
+    # per-report validate_financial_report loop)
+    errs = validate_reports_batch(merged_vals, bits)
 
     for c in _FACT_COLS:
         out[c] = pa.array(merged_vals[c], pa.float64())
@@ -240,20 +230,8 @@ def merge_bucket_group(group: pa.Table) -> pa.Table:
     key_idx = pa.array(order[starts], pa.int64())
     out: dict[str, object] = {c: group[c].take(key_idx) for c in _KEY_COLS}
 
-    # generation + validation per merged filing (mutates values/bits in place)
-    ft_list = out["filing_type"].to_pylist()
-    errs: list[str] = []
-    for i in range(g):
-        fr = new_financial_report(ft_list[i])
-        for f, c in zip(FACT_FIELDS, _FACT_COLS):
-            fr[f.struct][f.name] = float(merged_vals[c][i])
-        for s in _STRUCTS:
-            fr[s]["CollectedData"] = int(bits[s][i])
-        errs.append(validate_financial_report(fr))
-        for f, c in zip(FACT_FIELDS, _FACT_COLS):
-            merged_vals[c][i] = fr[f.struct][f.name]
-        for s in _STRUCTS:
-            bits[s][i] = fr[s]["CollectedData"]
+    # generation + validation, vectorized across the bucket's filings
+    errs = validate_reports_batch(merged_vals, bits)
 
     for c in _FACT_COLS:
         out[c] = pa.array(merged_vals[c], pa.float64())

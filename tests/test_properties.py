@@ -249,3 +249,59 @@ def test_sliding_window_kernel_vs_brute_with_ties(rows):
         assert n == len(in_frame)
         assert abs(sv - sum(round(vals[j] * 100) / 100.0
                             for j in in_frame)) < 1e-9
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_validate_reports_batch_matches_scalar(data):
+    """validate_reports_batch (the vectorized merge-stage validator) is
+    value-, bit-, and error-string-identical to validate_financial_report
+    run per report — including the WAShares scale override (both division
+    orders, 0/0 NaN), zero-division Dps (±Inf, NaN), and generated-field
+    hits and misses."""
+    from edgar_ray.functions.report import (new_financial_report,
+                                            validate_financial_report,
+                                            validate_reports_batch)
+    from edgar_ray.schema import FACT_FIELDS, STRUCT_FIELDS, fact_col
+
+    n = data.draw(st.integers(min_value=1, max_value=40))
+    # adversarial value pool: zeros (both signs), tiny/huge, negatives —
+    # zeros drive the go_div Inf/NaN branches and the scale override
+    pool = [0.0, -0.0, 1.0, -1.0, 3.5, 1e12, -2e9, 250.0]
+    vals: dict[str, np.ndarray] = {}
+    for f in FACT_FIELDS:
+        vals[fact_col(f)] = np.array(
+            [data.draw(st.sampled_from(pool)) for _ in range(n)], np.float64)
+    bits: dict[str, np.ndarray] = {}
+    for struct, fields in STRUCT_FIELDS.items():
+        hi = 1 << (max(f.bit for f in fields) + 1)
+        bits[struct] = np.array(
+            [data.draw(st.integers(min_value=0, max_value=hi - 1))
+             for _ in range(n)], np.uint64)
+
+    # scalar expectation
+    exp_vals = {c: v.copy() for c, v in vals.items()}
+    exp_bits = {s: b.copy() for s, b in bits.items()}
+    exp_errs = []
+    for i in range(n):
+        fr = new_financial_report("10-K")
+        for f in FACT_FIELDS:
+            fr[f.struct][f.name] = float(vals[fact_col(f)][i])
+        for s in bits:
+            fr[s]["CollectedData"] = int(bits[s][i])
+        exp_errs.append(validate_financial_report(fr))
+        for f in FACT_FIELDS:
+            exp_vals[fact_col(f)][i] = fr[f.struct][f.name]
+        for s in bits:
+            exp_bits[s][i] = fr[s]["CollectedData"]
+
+    got_vals = {c: v.copy() for c, v in vals.items()}
+    got_bits = {s: b.copy() for s, b in bits.items()}
+    got_errs = validate_reports_batch(got_vals, got_bits)
+
+    assert list(got_errs) == exp_errs
+    for s in bits:
+        assert (got_bits[s] == exp_bits[s]).all(), s
+    for c in vals:
+        g, e = got_vals[c], exp_vals[c]
+        assert ((g == e) | (np.isnan(g) & np.isnan(e))).all(), c
