@@ -231,6 +231,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "q_session_windows": windows.q_session_windows,
         # dedup suite
         "dedup_exact": dedup.dedup_exact,
+        "dedup_chunk": dedup.dedup_chunk,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -254,6 +255,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "text_quality_filter": text.quality_filter,
         "text_langid": text.langid,
         "text_fingerprint": text.fingerprints,
+        "text_repetition": text.repetition_signals,
         "text_vocabulary": text.vocabulary,
         "text_pii_scrub": text.pii_scrub,
         # dataset curation (split / sample / profile / leakage / mixing)
@@ -612,6 +614,21 @@ def _oracle_sql_all() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         """,
+        "dedup_chunk": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents),
+            c AS (
+              SELECT doc_id,
+                     array_to_string(
+                       words[(gs.g-1)*16+1 : LEAST(gs.g*16, len(words))],
+                       ' ') AS chunk
+              FROM w, LATERAL (SELECT unnest(generate_series(1,
+                         CAST(ceil(len(w.words)/16.0) AS BIGINT))) AS g) gs)
+            SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id) AS first_doc
+            FROM c GROUP BY 1 HAVING COUNT(*) > 1
+        """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -761,6 +778,30 @@ def _oracle_sql_all() -> dict[str, str]:
             SELECT doc_id, source, CAST(UNNEST(range(n_copies)) AS BIGINT)
                        AS epoch
             FROM e WHERE n_copies > 0
+        """,
+        "text_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents),
+            e AS (
+              SELECT doc_id, len(words) AS n_words, gs.g AS pos,
+                     words[gs.g] AS word,
+                     CASE WHEN gs.g < len(words)
+                          THEN words[gs.g] || ' ' || words[gs.g+1]
+                     END AS bigram
+              FROM w, LATERAL (SELECT unnest(generate_series(1,
+                                 len(w.words))) AS g) gs),
+            a1 AS (SELECT doc_id, ANY_VALUE(n_words) AS n_words,
+                          COUNT(DISTINCT word) AS n_distinct
+                   FROM e GROUP BY 1),
+            bg AS (SELECT doc_id, bigram, COUNT(*) AS c FROM e
+                   WHERE bigram IS NOT NULL GROUP BY 1, 2),
+            a2 AS (SELECT doc_id, MAX(c) AS max_c FROM bg GROUP BY 1)
+            SELECT a1.doc_id, a1.n_words,
+                   1.0 - CAST(a1.n_distinct AS DOUBLE) / a1.n_words
+                       AS dup_word_frac,
+                   COALESCE(CAST(a2.max_c AS DOUBLE) / (a1.n_words - 1), 0.0)
+                       AS top_bigram_frac
+            FROM a1 LEFT JOIN a2 USING (doc_id)
         """,
         "text_vocabulary": """
             WITH t AS (

@@ -110,6 +110,93 @@ def dedup_exact(sf_dir: str):
     )
 
 
+_CHUNK_STATS_SCHEMA = pa.schema([
+    ("chunk_hash", pa.string()), ("n_occurrences", pa.int64()),
+    ("n_docs", pa.int64()), ("first_doc", pa.int64()),
+])
+
+
+def dedup_chunk(sf_dir: str, chunk_words: int = 16):
+    """Sub-document exact dedup: split each doc on single spaces into
+    consecutive ``chunk_words``-word chunks (tail chunk may be shorter) and
+    report every chunk string occurring more than once corpus-wide — the
+    paragraph-level dedup of CCNet/Dolma-style web curation, adapted to the
+    single-line ``documents`` text. Chunk extraction is one vectorized pass
+    over the batch's concatenated UTF-8 buffer (word boundaries = space
+    positions, chunk bytes sliced straight out of the original buffer, no
+    chunk-string materialization); md5 keys match DuckDB's ``md5()`` so the
+    oracle twin verifies; one bucketed shuffle on the hash groups chunks.
+    At 100 TB the key space is the md5 hash — uniform, unskewed buckets."""
+    from .text import _utf8_buffers
+
+    ds = _docs(sf_dir)
+
+    def add_chunks(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.string())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        data, dstarts, dends = _utf8_buffers(t["text"])
+        sp = np.nonzero(data == 32)[0]  # space positions, doc-major order
+        n_words = (np.searchsorted(sp, dends) - np.searchsorted(sp, dstarts)
+                   + 1)
+        n_chunks = -(-n_words // chunk_words)
+        total_words = int(n_words.sum())
+        woff = np.r_[0, np.cumsum(n_words)]
+        # word k of a doc starts at the doc start (k=0) or one past its
+        # preceding space; ends at its following space or the doc end
+        wstarts = np.empty(total_words, np.int64)
+        wstarts[woff[:-1]] = dstarts
+        interior = np.ones(total_words, bool)
+        interior[woff[:-1]] = False
+        wstarts[interior] = sp + 1
+        wends = np.empty(total_words, np.int64)
+        not_last = np.ones(total_words, bool)
+        not_last[woff[1:] - 1] = False
+        wends[not_last] = sp
+        wends[woff[1:] - 1] = dends
+        # chunk -> (first word, last word)
+        total = int(n_chunks.sum())
+        coff = np.r_[0, np.cumsum(n_chunks)]
+        cdoc = np.repeat(np.arange(n), n_chunks)
+        j = np.arange(total) - np.repeat(coff[:-1], n_chunks)
+        first_w = woff[cdoc] + j * chunk_words
+        last_w = np.minimum(first_w + chunk_words, woff[cdoc + 1]) - 1
+        a, b = wstarts[first_w], wends[last_w]
+        mv = memoryview(data)
+        hs = [hashlib.md5(mv[lo:hi]).hexdigest() for lo, hi in zip(a, b)]
+        return pa.table({"doc_id": pa.array(ids[cdoc], pa.int64()),
+                         "h": pa.array(hs, pa.string())})
+
+    def bucket_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CHUNK_STATS_SCHEMA.empty_table()
+        h = np.asarray(t["h"].to_pylist(), dtype=object)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv, cnt = np.unique(h, return_inverse=True,
+                                   return_counts=True)
+        order = np.lexsort((ids, inv))
+        ids_s, inv_s = ids[order], inv[order]
+        starts = np.r_[0, np.nonzero(inv_s[1:] != inv_s[:-1])[0] + 1]
+        first_doc = ids_s[starts]  # ids ascending within each group
+        new_pair = np.r_[True, (inv_s[1:] != inv_s[:-1])
+                         | (ids_s[1:] != ids_s[:-1])]
+        n_docs = np.add.reduceat(new_pair, starts)
+        dup = cnt > 1
+        return pa.table({
+            "chunk_hash": pa.array(uniq[dup], pa.string()),
+            "n_occurrences": pa.array(cnt[dup], pa.int64()),
+            "n_docs": pa.array(n_docs[dup], pa.int64()),
+            "first_doc": pa.array(first_doc[dup], pa.int64()),
+        })
+
+    return grouped_apply(
+        ds.map_batches(add_chunks, batch_format="pyarrow"), ["h"],
+        bucket_stats, NUM_BUCKETS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

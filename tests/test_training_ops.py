@@ -495,3 +495,65 @@ def test_mix_weights_emit_matches_summary(contaminated_dir, ray_session):
     rows2 = mix_by_weight(contaminated_dir).take_all()
     key = lambda r: (r["doc_id"], r["epoch"])  # noqa: E731
     assert sorted(rows, key=key) == sorted(rows2, key=key)
+
+
+def test_dedup_chunk_planted(tmp_path, ray_session):
+    """A 16-word chunk copied verbatim into two otherwise-different docs is
+    reported with the right occurrence count and first owner; unique docs
+    contribute no rows; a within-doc repeat counts occurrences but one doc."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from edgar_ray.pipelines.dedup import dedup_chunk
+
+    shared = " ".join(f"shared{i}" for i in range(16))
+    texts = [
+        shared + " " + " ".join(f"tail{i}" for i in range(16)),   # 0
+        shared + " " + " ".join(f"other{i}" for i in range(16)),  # 1
+        " ".join(f"unique{i}" for i in range(40)),                # 2
+        shared + " " + shared,                                    # 3: twice
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+
+    import hashlib
+    rows = {r["chunk_hash"]: r for r in dedup_chunk(str(tmp_path)).take_all()}
+    h = hashlib.md5(shared.encode()).hexdigest()
+    assert h in rows
+    assert rows[h]["n_occurrences"] == 4  # docs 0, 1, and twice in 3
+    assert rows[h]["n_docs"] == 3
+    assert rows[h]["first_doc"] == 0
+    # no unique chunk leaks into the report
+    uniq_h = hashlib.md5(" ".join(
+        f"unique{i}" for i in range(16)).encode()).hexdigest()
+    assert uniq_h not in rows
+
+
+def test_repetition_signals_planted(tmp_path, ray_session):
+    """Degenerate repeats score 1.0-ish; an all-distinct doc scores 0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from edgar_ray.pipelines.text import repetition_signals
+
+    texts = [
+        "spam " * 9 + "spam",                      # one word repeated 10x
+        " ".join(f"w{i}" for i in range(10)),      # all distinct
+        "a b a b a b",                             # alternating bigram
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            repetition_signals(str(tmp_path)).take_all()}
+    assert rows[0]["dup_word_frac"] == 0.9       # 1 distinct / 10 words
+    assert rows[0]["top_bigram_frac"] == 1.0     # "spam spam" x9 / 9
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[1]["top_bigram_frac"] == 1.0 / 9
+    assert rows[2]["n_words"] == 6
+    assert rows[2]["top_bigram_frac"] == 3.0 / 5  # "a b" 3 of 5 bigrams
