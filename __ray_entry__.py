@@ -259,6 +259,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "text_vocabulary": text.vocabulary,
         "text_pii_scrub": text.pii_scrub,
         # dataset curation (split / sample / profile / leakage / mixing)
+        "curation_pack_shards": sampling.pack_shards,
         "curation_train_test_split": sampling.train_test_split,
         "curation_sample_stratified": sampling.sample_stratified,
         "curation_length_buckets": sampling.length_buckets,
@@ -713,6 +714,17 @@ def _oracle_sql_all() -> dict[str, str]:
               SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u)
             SELECT src AS node, least(src, min(dst)) AS label
             FROM reach GROUP BY src
+        """,
+        "curation_pack_shards": """
+            WITH d AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n_tokens,
+                              md5_number_lower(CAST(doc_id AS VARCHAR)) AS k
+                       FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST((SUM(n_tokens) OVER (ORDER BY k, doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) // 4096 AS BIGINT) AS shard
+            FROM d
         """,
         "curation_train_test_split": """
             SELECT doc_id, source,

@@ -329,3 +329,86 @@ def mix_weights_summary(sf_dir: str):
     return agg.map_batches(
         lambda t: t.select(["source", "n_docs", "n_emitted"]),
         batch_format="pyarrow")
+
+
+# -- shard packing (distributed prefix scan) ---------------------------------
+
+def pack_shards(sf_dir: str, budget: int = 4096, n_buckets: int = 256):
+    """Assign every document to a fixed-token-budget training shard in a
+    deterministic global order — the "pack the corpus into shard files"
+    step of a training-data pipeline, built as the classic TWO-PASS
+    DISTRIBUTED PREFIX SCAN:
+
+    - global order = (md5_low64(doc_id), doc_id); its top byte is the
+      bucket, so buckets partition the keyspace into ``n_buckets`` ordered,
+      statistically equal ranges;
+    - pass 1 streams per-batch ``(bucket, token_sum)`` partials into a
+      tiny ``groupby(bucket).sum`` — the all-to-all moves <= n_buckets rows
+      per block, never documents;
+    - the driver turns those <= n_buckets totals into exclusive bucket
+      offsets (the only driver-side state: one small array);
+    - pass 2 shuffles docs once by bucket; each bucket task sorts locally
+      and emits shard = (bucket_offset + local_exclusive_cumsum) // budget.
+
+    Token count = single-space split length (``count_substring + 1``),
+    matching the DuckDB twin's ``len(string_split(text, ' '))``; shard ids
+    are exact int64 arithmetic, so the oracle match is hash-exact. At
+    100 TB raise ``n_buckets`` (top 2 bytes -> 65k ranges): pass-1 traffic
+    stays metadata-sized and pass-2 is the one unavoidable full shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    shift = np.uint64(64 - int(n_buckets - 1).bit_length())
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _md5_low64(ids.tolist())
+        n_tok = pc.count_substring(t["text"], " ").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "k": pa.array(k, pa.uint64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "bucket": pa.array((k >> shift).astype(np.int32), pa.int32()),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        sums = np.bincount(b, weights=tok, minlength=n_buckets)
+        nz = np.nonzero(sums)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int32), pa.int32()),
+                         "tok": pa.array(sums[nz].astype(np.int64),
+                                         pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    totals = (keyed_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Sum("tok", alias_name="tok"))
+              .take_all())  # <= n_buckets rows: metadata, not data
+    per_bucket = np.zeros(n_buckets, np.int64)
+    for r in totals:
+        per_bucket[r["bucket"]] = r["tok"]
+    offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]  # exclusive, in order
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = int(t["bucket"][0].as_py())
+        order = np.lexsort((ids, k))
+        tok_s = tok[order]
+        before = offsets[b] + np.r_[0, np.cumsum(tok_s)[:-1]]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_tokens": pa.array(tok_s, pa.int64()),
+            "shard": pa.array(before // budget, pa.int64()),
+        })
+
+    return keyed_ds.groupby("bucket").map_groups(pack,
+                                                 batch_format="pyarrow")

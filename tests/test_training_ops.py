@@ -557,3 +557,42 @@ def test_repetition_signals_planted(tmp_path, ray_session):
     assert rows[1]["top_bigram_frac"] == 1.0 / 9
     assert rows[2]["n_words"] == 6
     assert rows[2]["top_bigram_frac"] == 3.0 / 5  # "a b" 3 of 5 bigrams
+
+
+def test_pack_shards_invariants(tmp_path, ray_session):
+    """Shard packing: shard ids are dense from 0, contiguous in the global
+    (md5 key, doc_id) order, each doc's shard = its exclusive-prefix-sum //
+    budget (recomputed locally), and the assignment is identical across
+    runs (partition-independent)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from edgar_ray.pipelines.sampling import _md5_low64, pack_shards
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{rng.integers(100)}" for _ in range(rng.integers(1, 60)))
+             for _ in range(400)]
+    tbl = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+
+    budget = 512
+    rows = pack_shards(str(tmp_path), budget=budget).take_all()
+    got = {r["doc_id"]: (r["n_tokens"], r["shard"]) for r in rows}
+    # local reference: sort by (key, doc_id), exclusive cumsum // budget
+    ids = np.arange(400)
+    k = _md5_low64(ids.tolist())
+    n_tok = np.array([len(t.split(" ")) for t in texts], np.int64)
+    order = np.lexsort((ids, k))
+    before = np.r_[0, np.cumsum(n_tok[order])[:-1]]
+    for pos, d in enumerate(order):
+        assert got[d] == (n_tok[d], before[pos] // budget), d
+    shards = np.array([got[d][1] for d in order])
+    assert shards[0] == 0
+    assert ((np.diff(shards) == 0) | (np.diff(shards) == 1)).all()
+    rows2 = pack_shards(str(tmp_path), budget=budget).take_all()
+    assert sorted(rows, key=lambda r: r["doc_id"]) == \
+        sorted(rows2, key=lambda r: r["doc_id"])
