@@ -130,8 +130,9 @@ def run_bench() -> dict:
     qs = entrymod.queries() | entrymod.extra_queries()
     bench_queries = () if BENCH_MODE == "crawl" else (
         "q1_pricing_summary", "q_hash_join", "q_topk_per_group",
-        "dedup_exact", "dedup_minhash_lsh", "similarity_knn_brute",
-        "text_quality", "text_token_count", "multimodal_features")
+        "dedup_exact", "dedup_chunk", "dedup_minhash_lsh",
+        "similarity_knn_brute", "text_quality", "text_repetition",
+        "text_token_count", "curation_pack_shards", "multimodal_features")
     for name in bench_queries:
         t0 = time.monotonic()
         out = qs[name](SF_DIR)
