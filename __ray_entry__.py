@@ -314,19 +314,23 @@ _DRIVER_NAMES = [
     "q_broadcast_join", "q_hash_join", "q_anti_join",
     # temporal / windowed custom operators
     "q_asof_join", "q_window_sliding", "q_session_windows",
-    # dedup suite
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    # dedup suite (simhash / ngram-jaccard stay registered via extras —
+    # rows-only siblings of the oracle-backed minhash path; dedup_chunk is
+    # the oracle-backed sub-document dedup)
+    "dedup_exact", "dedup_chunk", "dedup_minhash_lsh",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_clusters_embedding",
-    # similarity search
-    "similarity_knn_brute", "similarity_knn_batch", "similarity_ann_lsh",
+    # similarity search (ann_lsh -> extras; ivf_partitioned shows the
+    # prune-at-read ANN scale path to the driver)
+    "similarity_knn_brute", "similarity_knn_batch",
     "similarity_ann_ivf_partitioned",
     # text analysis
     "text_token_count", "text_quality", "text_quality_filter", "text_langid",
-    "text_fingerprint",
+    "text_fingerprint", "text_repetition",
     # dataset curation
     "curation_train_test_split", "curation_sample_stratified",
     "curation_length_buckets", "curation_contamination", "curation_dedup_rate",
+    "curation_pack_shards",
 ]
 assert len(_DRIVER_NAMES) == 50
 
