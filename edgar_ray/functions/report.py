@@ -149,8 +149,9 @@ def validate_reports_batch(
     presence masks (both mutated in place, like the scalar's in-place
     report mutation). Returns an object array of validation-error strings.
 
-    Equivalence argument (parity-tested exhaustively in
-    tests/test_merge.py): numpy float64 division IS ``go_div`` (IEEE-754:
+    Equivalence argument (parity-tested in tests/test_properties.py::
+    test_validate_reports_batch_matches_scalar): numpy float64 division IS
+    ``go_div`` (IEEE-754:
     x/0 = ±Inf with the copysign rule, 0/0 = NaN), so the WAShares
     same-scale check and the Dps division reproduce the Go semantics
     bitwise; the three generated fields (GrossMargin, OpExpense, Dps) read

@@ -355,6 +355,9 @@ def pack_shards(sf_dir: str, budget: int = 4096, n_buckets: int = 256):
     are exact int64 arithmetic, so the oracle match is hash-exact. At
     100 TB raise ``n_buckets`` (top 2 bytes -> 65k ranges): pass-1 traffic
     stays metadata-sized and pass-2 is the one unavoidable full shuffle."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two (top-bits "
+                         "bucketing keeps ranges ordered and complete)")
     ds = _docs(sf_dir, ["doc_id", "text"])
     shift = np.uint64(64 - int(n_buckets - 1).bit_length())
 
@@ -370,7 +373,10 @@ def pack_shards(sf_dir: str, budget: int = 4096, n_buckets: int = 256):
             "bucket": pa.array((k >> shift).astype(np.int32), pa.int32()),
         })
 
-    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    # materialized once: both passes consume it, and the keyed projection
+    # is tiny (4 fixed-width columns, no text) — without this the corpus
+    # read + md5 keying would re-execute for pass 2
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
 
     def partial(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy(zero_copy_only=False)

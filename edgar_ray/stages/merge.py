@@ -161,7 +161,6 @@ def merge_partial_group(group: pa.Table) -> pa.Table:
     order = np.argsort(inv, kind="stable")
     inv_s = inv[order]
     starts = np.nonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])[0]
-    g = len(uniq)
     seg_id = np.cumsum(np.r_[True, inv_s[1:] != inv_s[:-1]]) - 1
     idx = np.arange(n)
 
@@ -213,7 +212,6 @@ def merge_bucket_group(group: pa.Table) -> pa.Table:
     order = np.lexsort((repnum, prio, inv))
     inv_s = inv[order]
     starts = np.nonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])[0]
-    g = len(uniq)
 
     merged_vals: dict[str, np.ndarray] = {}
     idx = np.arange(n)
