@@ -116,6 +116,44 @@ _CHUNK_STATS_SCHEMA = pa.schema([
 ])
 
 
+def _chunk_spans(data: np.ndarray, dstarts: np.ndarray, dends: np.ndarray,
+                 chunk_words: int):
+    """Byte spans of consecutive ``chunk_words``-word chunks for every doc
+    in a concatenated UTF-8 buffer, splitting on single spaces (DuckDB
+    ``string_split`` semantics: multi-space runs yield empty words, an
+    empty doc yields one empty word). Returns (doc_index, span_start,
+    span_end) arrays; the span's bytes equal ' '.join of the chunk's words
+    because word k starts one past its preceding space. Property-tested
+    against naive ``str.split(' ')`` chunking in tests/test_properties.py."""
+    n = len(dstarts)
+    sp = np.nonzero(data == 32)[0]  # space positions, doc-major order
+    n_words = (np.searchsorted(sp, dends) - np.searchsorted(sp, dstarts)
+               + 1)
+    n_chunks = -(-n_words // chunk_words)
+    total_words = int(n_words.sum())
+    woff = np.r_[0, np.cumsum(n_words)]
+    # word k of a doc starts at the doc start (k=0) or one past its
+    # preceding space; ends at its following space or the doc end
+    wstarts = np.empty(total_words, np.int64)
+    wstarts[woff[:-1]] = dstarts
+    interior = np.ones(total_words, bool)
+    interior[woff[:-1]] = False
+    wstarts[interior] = sp + 1
+    wends = np.empty(total_words, np.int64)
+    not_last = np.ones(total_words, bool)
+    not_last[woff[1:] - 1] = False
+    wends[not_last] = sp
+    wends[woff[1:] - 1] = dends
+    # chunk -> (first word, last word)
+    total = int(n_chunks.sum())
+    coff = np.r_[0, np.cumsum(n_chunks)]
+    cdoc = np.repeat(np.arange(n), n_chunks)
+    j = np.arange(total) - np.repeat(coff[:-1], n_chunks)
+    first_w = woff[cdoc] + j * chunk_words
+    last_w = np.minimum(first_w + chunk_words, woff[cdoc + 1]) - 1
+    return cdoc, wstarts[first_w], wends[last_w]
+
+
 def dedup_chunk(sf_dir: str, chunk_words: int = 16):
     """Sub-document exact dedup: split each doc on single spaces into
     consecutive ``chunk_words``-word chunks (tail chunk may be shorter) and
@@ -138,32 +176,7 @@ def dedup_chunk(sf_dir: str, chunk_words: int = 16):
                              "h": pa.array([], pa.string())})
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         data, dstarts, dends = _utf8_buffers(t["text"])
-        sp = np.nonzero(data == 32)[0]  # space positions, doc-major order
-        n_words = (np.searchsorted(sp, dends) - np.searchsorted(sp, dstarts)
-                   + 1)
-        n_chunks = -(-n_words // chunk_words)
-        total_words = int(n_words.sum())
-        woff = np.r_[0, np.cumsum(n_words)]
-        # word k of a doc starts at the doc start (k=0) or one past its
-        # preceding space; ends at its following space or the doc end
-        wstarts = np.empty(total_words, np.int64)
-        wstarts[woff[:-1]] = dstarts
-        interior = np.ones(total_words, bool)
-        interior[woff[:-1]] = False
-        wstarts[interior] = sp + 1
-        wends = np.empty(total_words, np.int64)
-        not_last = np.ones(total_words, bool)
-        not_last[woff[1:] - 1] = False
-        wends[not_last] = sp
-        wends[woff[1:] - 1] = dends
-        # chunk -> (first word, last word)
-        total = int(n_chunks.sum())
-        coff = np.r_[0, np.cumsum(n_chunks)]
-        cdoc = np.repeat(np.arange(n), n_chunks)
-        j = np.arange(total) - np.repeat(coff[:-1], n_chunks)
-        first_w = woff[cdoc] + j * chunk_words
-        last_w = np.minimum(first_w + chunk_words, woff[cdoc + 1]) - 1
-        a, b = wstarts[first_w], wends[last_w]
+        cdoc, a, b = _chunk_spans(data, dstarts, dends, chunk_words)
         mv = memoryview(data)
         hs = [hashlib.md5(mv[lo:hi]).hexdigest() for lo, hi in zip(a, b)]
         return pa.table({"doc_id": pa.array(ids[cdoc], pa.int64()),

@@ -428,61 +428,61 @@ def repetition_signals(sf_dir: str):
     ``string_split`` contract), ``dictionary_encode`` for exact C-side word
     identity (no hash collisions to break oracle equality), then numpy
     segment reductions over (doc, code) and (doc, bigram-key) sort orders."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow")
+
+
+def _repetition_batch(t: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def rep(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
-            return pa.table({
-                "doc_id": pa.array([], pa.int64()),
-                "n_words": pa.array([], pa.int64()),
-                "dup_word_frac": pa.array([], pa.float64()),
-                "top_bigram_frac": pa.array([], pa.float64()),
-            })
-        words = pc.split_pattern(t["text"], " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        offs = np.frombuffer(words.buffers()[1], dtype=np.int32)[
-            words.offset: words.offset + n + 1].astype(np.int64)
-        flat = words.flatten()
-        codes = pc.dictionary_encode(flat).indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_words = np.diff(offs)          # every doc has >= 1 word
-        doc = np.repeat(np.arange(n), n_words)
-        # distinct words per doc: count (doc, code) runs
-        order = np.lexsort((codes, doc))
-        d_s, c_s = doc[order], codes[order]
-        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
-        n_distinct = np.add.reduceat(new, offs[:-1])
-        # bigram runs per doc (pairs that don't straddle a doc boundary)
-        within = doc[1:] == doc[:-1]
-        v = np.int64(codes.max()) + 1
-        bkey = codes[:-1][within] * v + codes[1:][within]
-        bdoc = doc[:-1][within]
-        top = np.zeros(n, np.float64)
-        if len(bkey):
-            order2 = np.lexsort((bkey, bdoc))
-            bd, bk = bdoc[order2], bkey[order2]
-            new2 = np.r_[True, (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])]
-            run_starts = np.nonzero(new2)[0]
-            run_len = np.diff(np.r_[run_starts, len(bk)])
-            run_doc = bd[run_starts]
-            doc_starts = np.r_[0, np.nonzero(run_doc[1:] != run_doc[:-1])[0]
-                               + 1]
-            present = run_doc[doc_starts]
-            top[present] = (np.maximum.reduceat(run_len, doc_starts)
-                            / (n_words[present] - 1.0))
+    n = t.num_rows
+    if n == 0:
         return pa.table({
-            "doc_id": t["doc_id"],
-            "n_words": pa.array(n_words, pa.int64()),
-            "dup_word_frac": pa.array(1.0 - n_distinct / n_words,
-                                      pa.float64()),
-            "top_bigram_frac": pa.array(top, pa.float64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_words": pa.array([], pa.int64()),
+            "dup_word_frac": pa.array([], pa.float64()),
+            "top_bigram_frac": pa.array([], pa.float64()),
         })
-
-    return ds.map_batches(rep, batch_format="pyarrow")
+    words = pc.split_pattern(t["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = np.frombuffer(words.buffers()[1], dtype=np.int32)[
+        words.offset: words.offset + n + 1].astype(np.int64)
+    flat = words.flatten()
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_words = np.diff(offs)          # every doc has >= 1 word
+    doc = np.repeat(np.arange(n), n_words)
+    # distinct words per doc: count (doc, code) runs
+    order = np.lexsort((codes, doc))
+    d_s, c_s = doc[order], codes[order]
+    new = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    n_distinct = np.add.reduceat(new, offs[:-1])
+    # bigram runs per doc (pairs that don't straddle a doc boundary)
+    within = doc[1:] == doc[:-1]
+    v = np.int64(codes.max()) + 1
+    bkey = codes[:-1][within] * v + codes[1:][within]
+    bdoc = doc[:-1][within]
+    top = np.zeros(n, np.float64)
+    if len(bkey):
+        order2 = np.lexsort((bkey, bdoc))
+        bd, bk = bdoc[order2], bkey[order2]
+        new2 = np.r_[True, (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])]
+        run_starts = np.nonzero(new2)[0]
+        run_len = np.diff(np.r_[run_starts, len(bk)])
+        run_doc = bd[run_starts]
+        doc_starts = np.r_[0, np.nonzero(run_doc[1:] != run_doc[:-1])[0]
+                           + 1]
+        present = run_doc[doc_starts]
+        top[present] = (np.maximum.reduceat(run_len, doc_starts)
+                        / (n_words[present] - 1.0))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_words": pa.array(n_words, pa.int64()),
+        "dup_word_frac": pa.array(1.0 - n_distinct / n_words,
+                                  pa.float64()),
+        "top_bigram_frac": pa.array(top, pa.float64()),
+    })
 
 
 # -- global vocabulary ------------------------------------------------------

@@ -305,3 +305,62 @@ def test_validate_reports_batch_matches_scalar(data):
     for c in vals:
         g, e = got_vals[c], exp_vals[c]
         assert ((g == e) | (np.isnan(g) & np.isnan(e))).all(), c
+
+
+@given(st.lists(
+    st.text(alphabet=st.sampled_from(list("ab é")), max_size=40),
+    min_size=1, max_size=12))
+@settings(max_examples=80, deadline=None)
+def test_dedup_chunk_kernel_vs_naive(texts):
+    """The zero-copy chunk-span kernel equals naive split(' ') chunking for
+    ANY text — multi-space runs, leading/trailing spaces, empty docs,
+    multi-byte UTF-8."""
+    import hashlib
+    from collections import Counter
+
+    from edgar_ray.pipelines.dedup import _chunk_spans
+    from edgar_ray.pipelines.text import _utf8_buffers
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    want = Counter()
+    for s in texts:
+        words = s.split(" ")
+        for j in range(0, len(words), 16):
+            chunk = " ".join(words[j:j + 16])
+            want[hashlib.md5(chunk.encode()).hexdigest()] += 1
+
+    data, dstarts, dends = _utf8_buffers(t["text"])
+    cdoc, a, b = _chunk_spans(data, dstarts, dends, 16)
+    mv = memoryview(data)
+    got = Counter(hashlib.md5(mv[lo:hi]).hexdigest()
+                  for lo, hi in zip(a, b))
+    assert got == want
+    # every span belongs to the right doc's byte range
+    assert (dstarts[cdoc] <= a).all() and (b <= dends[cdoc]).all()
+
+
+@given(st.lists(
+    st.text(alphabet=st.sampled_from(list("xy z")), max_size=30),
+    min_size=1, max_size=10))
+@settings(max_examples=80, deadline=None)
+def test_repetition_kernel_vs_naive(texts):
+    """_repetition_batch equals a naive Counter reference for any text,
+    including multi-space runs and empty docs (string_split semantics:
+    every doc has >= 1 word)."""
+    from collections import Counter
+
+    from edgar_ray.pipelines.text import _repetition_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = _repetition_batch(t).to_pylist()
+    for row, s in zip(out, texts):
+        words = s.split(" ")
+        assert row["n_words"] == len(words)
+        assert row["dup_word_frac"] == 1.0 - len(set(words)) / len(words)
+        if len(words) < 2:
+            assert row["top_bigram_frac"] == 0.0
+        else:
+            bigrams = Counter(zip(words, words[1:]))
+            assert row["top_bigram_frac"] == \
+                max(bigrams.values()) / (len(words) - 1)
