@@ -599,7 +599,10 @@ def crawl(
             "exec_s": round(time.monotonic() - t_w, 3),
             "pages": int(n_admitted),
             **({"pages_skipped": int(skipped_pages)} if skipped_pages else {}),
+            # distributed-path phase split (absent on the driver fast path)
+            **(getattr(frontier, "last_admit_phases", None) or {}),
         }
+        frontier.last_admit_phases = None  # one-shot: never leak to later waves
         if wave == 2:
             wave_timings[wave]["pages_ok"] = int(pages_ok)
             wave_timings[wave]["pages_err"] = int(pages_err)

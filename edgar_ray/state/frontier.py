@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import zlib
 
 import numpy as np
@@ -457,6 +458,7 @@ class Frontier:
         from ..stages.bucketing import with_bucket
 
         bucket_admit = _make_bucket_admit(self.shards, self.num_shards, wave)
+        t0 = time.monotonic()
         admitted = (
             cand_ds.map_batches(prep, batch_format="pyarrow")
             .map_batches(
@@ -467,6 +469,7 @@ class Frontier:
         )
         if ADMIT_MATERIALIZE_BETWEEN:
             admitted = admitted.materialize()
+        t_dedup = time.monotonic()
         admitted = (
             admitted
             .sort(["seed_rank", "filing_type", "_date_int", "report_num",
@@ -474,6 +477,14 @@ class Frontier:
                   descending=[False, False, True, False, False])
             .materialize()
         )
+        # per-phase attribution for the scaling analysis: dedup = prep +
+        # robots gate + bucketed first-wins groupby; sort = the global
+        # priority sort (only meaningful when ADMIT_MATERIALIZE_BETWEEN
+        # forces the barrier between them)
+        self.last_admit_phases = {
+            "admit_dedup_s": round(t_dedup - t0, 3),
+            "admit_sort_s": round(time.monotonic() - t_dedup, 3),
+        }
         refs = admitted.to_arrow_refs()
         summaries = ray.get([_block_summary.remote(r) for r in refs])
         total = int(sum(n for n, _ in summaries))
