@@ -629,21 +629,47 @@ def _inwave_winners(t: pa.Table, h: np.ndarray,
     URL that carry DIFFERENT metadata therefore resolve identically on the
     driver fast path and the distributed bucket path. A tie column absent
     from the table (hand-built candidate tables in tests/tools) contributes
-    a constant — both paths skip it identically."""
+    a constant — both paths skip it identically.
+
+    Cost note: _TIE_COLS ranks (object-array np.unique = Python string
+    compares) are computed ONLY for rows inside duplicate-hash groups —
+    the metadata can never change a singleton's winner — so the string
+    work scales with the duplicate fraction (a few % of the wave), not the
+    wave. Equivalence with the full-comparator sort is exact: the numeric
+    pre-sort is stable, so restricting the (h, prio, ties) comparator to
+    each duplicate group preserves both the winner and the residual
+    original-order stability (property-tested against the full sort)."""
+    rank, ft_key, neg_date, repnum = prio_keys
+    order0 = np.lexsort((repnum, neg_date, ft_key, rank, h))
+    hs = h[order0]
+    gstart = np.r_[True, hs[1:] != hs[:-1]]
+    gstarts = np.nonzero(gstart)[0]
+    dups = int(len(h) - len(gstarts))
+    winners = order0[gstarts]
+    if dups == 0:
+        return winners, 0
+    gsize = np.diff(np.r_[gstarts, len(hs)])
+    dupg = gsize > 1
+    member = np.repeat(dupg, gsize)  # order0-space mask of dup-group rows
+    sub_rows = order0[member]        # ordered by (h, prio, original index)
+    sub_pa = pa.array(sub_rows, pa.int64())
     ties = []
     for c in _TIE_COLS:
         if c not in t.column_names:
             continue
-        _, inv = np.unique(np.asarray(t[c].to_pylist(), dtype=object),
-                           return_inverse=True)
+        vals = np.asarray(t[c].take(sub_pa).to_pylist(), dtype=object)
+        _, inv = np.unique(vals, return_inverse=True)
         ties.append(inv.astype(np.int64))
-    rank, ft_key, neg_date, repnum = prio_keys
-    order = np.lexsort(tuple(reversed(ties))
-                       + (repnum, neg_date, ft_key, rank, h))
-    hs = h[order]
-    first = np.r_[True, hs[1:] != hs[:-1]]
-    winners = order[first]
-    return winners, int(len(h) - len(winners))
+    h_sub = hs[member]
+    order1 = np.lexsort(tuple(reversed(ties))
+                        + (repnum[sub_rows], neg_date[sub_rows],
+                           ft_key[sub_rows], rank[sub_rows], h_sub))
+    hss = h_sub[order1]
+    first = np.r_[True, hss[1:] != hss[:-1]]
+    winners = winners.copy()
+    # dup groups appear in ascending-hash order on both sides
+    winners[dupg] = sub_rows[order1][first]
+    return winners, dups
 
 
 def _local_priority_keys(t: pa.Table) -> list[np.ndarray]:

@@ -364,3 +364,43 @@ def test_repetition_kernel_vs_naive(texts):
             bigrams = Counter(zip(words, words[1:]))
             assert row["top_bigram_frac"] == \
                 max(bigrams.values()) / (len(words) - 1)
+
+
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_inwave_winners_subset_tiebreak_equals_full_sort(data):
+    """The duplicate-group-restricted tie-break in _inwave_winners picks
+    exactly the winners of the original one-shot full-comparator lexsort —
+    including duplicate hashes with equal priority keys that differ only
+    in metadata, and fully-identical copies (original-order stability)."""
+    from edgar_ray.state.frontier import _TIE_COLS, _inwave_winners
+
+    n = data.draw(st.integers(min_value=1, max_value=60))
+    # small domains force plenty of hash collisions and full-key ties
+    h = np.array([data.draw(st.integers(0, 7)) for _ in range(n)], np.uint64)
+    prio = [np.array([data.draw(st.integers(0, 2)) for _ in range(n)],
+                     np.int64) for _ in range(4)]
+    cols = {"url": None, "doc_type": None, "accession": None,
+            "cik": None, "ticker": None}
+    tbl = {}
+    for c in cols:
+        tbl[c] = pa.array([f"v{data.draw(st.integers(0, 2))}"
+                           for _ in range(n)], pa.string())
+    t = pa.table(tbl)
+
+    # reference: the original full-table comparator sort
+    ties = []
+    for c in _TIE_COLS:
+        _, inv = np.unique(np.asarray(t[c].to_pylist(), dtype=object),
+                           return_inverse=True)
+        ties.append(inv.astype(np.int64))
+    order = np.lexsort(tuple(reversed(ties))
+                       + (prio[3], prio[2], prio[1], prio[0], h))
+    hs = h[order]
+    first = np.r_[True, hs[1:] != hs[:-1]]
+    want = order[first]
+
+    got, dups = _inwave_winners(t, h, prio)
+    assert dups == n - len(want)
+    assert np.array_equal(np.sort(got), np.sort(want))
+    assert np.array_equal(got, want)  # same comparator order too
