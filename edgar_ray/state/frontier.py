@@ -64,6 +64,24 @@ def shard_of(host: str, num_shards: int) -> int:
     return zlib.crc32(host.encode()) % num_shards
 
 
+def _lex_ranks(col) -> np.ndarray:
+    """Lexicographic ranks of a string column (== ``np.unique(...,
+    return_inverse=True)`` inverse) without per-row Python compares:
+    dictionary-encode in C, sort only the small dictionary, remap."""
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+        enc = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
+    dict_vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    dict_rank = np.empty(len(dict_vals), dtype=np.int64)
+    dict_rank[np.argsort(dict_vals)] = np.arange(len(dict_vals))
+    return dict_rank[enc.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64)]
+
+
 def _priority_keys(tbl: pa.Table) -> list[np.ndarray]:
     """Numeric lexsort keys for the within-wave priority ``(seed_rank,
     filing_type, -filed_date, report_num)``: filing_type dictionary-encodes
@@ -72,15 +90,7 @@ def _priority_keys(tbl: pa.Table) -> list[np.ndarray]:
     import pyarrow.compute as pc
 
     rank = tbl["seed_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ft = tbl["filing_type"]
-    enc = pc.dictionary_encode(ft.combine_chunks() if isinstance(ft, pa.ChunkedArray) else ft)
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-        enc = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
-    dict_vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-    dict_rank = np.empty(len(dict_vals), dtype=np.int64)
-    dict_rank[np.argsort(dict_vals)] = np.arange(len(dict_vals))
-    ft_key = dict_rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    ft_key = _lex_ranks(tbl["filing_type"])
 
     date_digits = pc.replace_substring(tbl["filed_date"], "-", "")
     date_int = pc.cast(
@@ -653,13 +663,8 @@ def _inwave_winners(t: pa.Table, h: np.ndarray,
     member = np.repeat(dupg, gsize)  # order0-space mask of dup-group rows
     sub_rows = order0[member]        # ordered by (h, prio, original index)
     sub_pa = pa.array(sub_rows, pa.int64())
-    ties = []
-    for c in _TIE_COLS:
-        if c not in t.column_names:
-            continue
-        vals = np.asarray(t[c].take(sub_pa).to_pylist(), dtype=object)
-        _, inv = np.unique(vals, return_inverse=True)
-        ties.append(inv.astype(np.int64))
+    ties = [_lex_ranks(t[c].take(sub_pa))
+            for c in _TIE_COLS if c in t.column_names]
     h_sub = hs[member]
     order1 = np.lexsort(tuple(reversed(ties))
                         + (repnum[sub_rows], neg_date[sub_rows],
@@ -677,11 +682,10 @@ def _local_priority_keys(t: pa.Table) -> list[np.ndarray]:
     Strings factorize via np.unique — lexicographic ranks, so local
     comparisons order exactly as the global sort does."""
     rank = t["seed_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
-    _, ft_key = np.unique(np.asarray(t["filing_type"].to_pylist(),
-                                     dtype=object), return_inverse=True)
+    ft_key = _lex_ranks(t["filing_type"])
     date_int = t["_date_int"].to_numpy(zero_copy_only=False).astype(np.int64)
     repnum = t["report_num"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return [rank, ft_key.astype(np.int64), -date_int, repnum]
+    return [rank, ft_key, -date_int, repnum]
 
 
 def _make_bucket_admit(shards, num_shards: int, wave: int):
