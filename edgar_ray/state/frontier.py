@@ -75,6 +75,10 @@ def _lex_ranks(col) -> np.ndarray:
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
         enc = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
+    if enc.null_count:
+        # nulls would cast to platform-dependent garbage indices; the old
+        # np.unique path raised on None too — keep the failure explicit
+        raise ValueError("_lex_ranks: ranking column contains nulls")
     dict_vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
     dict_rank = np.empty(len(dict_vals), dtype=np.int64)
     dict_rank[np.argsort(dict_vals)] = np.arange(len(dict_vals))
@@ -119,8 +123,7 @@ def _priority_sort(tbl: pa.Table) -> pa.Table:
     if "url_canon_hash" in tbl.column_names:
         tie = tbl["url_canon_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     else:
-        _, tie = np.unique(np.asarray(tbl["url"].to_pylist(), dtype=object),
-                           return_inverse=True)
+        tie = _lex_ranks(tbl["url"])
     order = np.lexsort((tie, repnum, neg_date, ft_key, rank))
     return tbl.take(pa.array(order, pa.int64()))
 
@@ -671,8 +674,8 @@ def _inwave_winners(t: pa.Table, h: np.ndarray,
                            ft_key[sub_rows], rank[sub_rows], h_sub))
     hss = h_sub[order1]
     first = np.r_[True, hss[1:] != hss[:-1]]
-    winners = winners.copy()
-    # dup groups appear in ascending-hash order on both sides
+    # dup groups appear in ascending-hash order on both sides; winners is a
+    # fresh fancy-indexed array, safe to patch in place
     winners[dupg] = sub_rows[order1][first]
     return winners, dups
 

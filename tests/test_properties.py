@@ -380,10 +380,12 @@ def test_inwave_winners_subset_tiebreak_equals_full_sort(data):
     h = np.array([data.draw(st.integers(0, 7)) for _ in range(n)], np.uint64)
     prio = [np.array([data.draw(st.integers(0, 2)) for _ in range(n)],
                      np.int64) for _ in range(4)]
-    cols = {"url": None, "doc_type": None, "accession": None,
-            "cik": None, "ticker": None}
+    # randomly DROP tie columns so the column-absent branch (hand-built
+    # candidate tables) is exercised too
+    present = [c for c in ("url", "doc_type", "accession", "cik", "ticker")
+               if data.draw(st.booleans())] or ["url"]
     tbl = {}
-    for c in cols:
+    for c in present:
         tbl[c] = pa.array([f"v{data.draw(st.integers(0, 2))}"
                            for _ in range(n)], pa.string())
     t = pa.table(tbl)
@@ -391,6 +393,8 @@ def test_inwave_winners_subset_tiebreak_equals_full_sort(data):
     # reference: the original full-table comparator sort
     ties = []
     for c in _TIE_COLS:
+        if c not in t.column_names:
+            continue
         _, inv = np.unique(np.asarray(t[c].to_pylist(), dtype=object),
                            return_inverse=True)
         ties.append(inv.astype(np.int64))
