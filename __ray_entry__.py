@@ -247,6 +247,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "similarity_knn_batch": similarity.knn_batch,
         "similarity_ann_lsh": similarity.ann_lsh,
         "similarity_ann_ivf": similarity.ann_ivf,
+        "similarity_range_search": similarity.range_search,
         "similarity_ann_ivf_partitioned": _ann_ivf_partitioned,
         # text analysis
         "text_token_count": text.token_count,
@@ -639,6 +640,12 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 512 AND b.vec_id < 512
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "similarity_range_search": """
+            SELECT e.vec_id AS vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+            WHERE list_cosine_similarity(e.embedding, qq.q) >= 0.25
         """,
         "similarity_knn_brute": """
             SELECT e.vec_id AS vec_id

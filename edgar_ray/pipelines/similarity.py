@@ -285,3 +285,25 @@ def ann_ivf_partitioned(index_dir: str, sf_dir: str, query_id: int = 0,
         .limit(k)
         .select_columns(["vec_id"])
     )
+
+
+def range_search(sf_dir: str, query_id: int = 0, threshold: float = 0.25):
+    """Radius search: every vector with cosine >= ``threshold`` to a stored
+    query — the other standard similarity-API shape next to top-k. Pure
+    filter map against the broadcast unit query (no shuffle, no driver
+    loop); never empty (the query matches itself at cosine 1.0), so the
+    oracle comparison always has schema-bearing rows."""
+    q = _query_vec(sf_dir, query_id)
+    q_ref = ray.put(q)
+
+    def flt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64())})
+        qv = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _mat(t["embedding"])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        keep = (mat @ qv) >= threshold
+        return pa.table({"vec_id": pa.array(ids[keep], pa.int64())})
+
+    return _emb(sf_dir).map_batches(flt, batch_format="pyarrow")
