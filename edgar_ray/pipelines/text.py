@@ -22,33 +22,106 @@ def _docs(sf_dir: str, columns):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+# ASCII whitespace bytes of Python ``str.split()`` (every c < 128 with
+# c.isspace(): \t \n \v \f \r \x1c-\x1f space). Non-ASCII Unicode whitespace
+# (U+00A0, U+2003, ...) is multi-byte in UTF-8 and treated as a regular
+# character by the byte kernels below — a documented divergence from
+# ``str.split()`` that cannot occur on the single-space/newline-separated
+# oracle corpora (the scalar twins in the parity tests pin this).
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
+
+
+def _runs_per_doc(mask: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray) -> np.ndarray:
+    """Count of maximal True runs per doc over a concatenated byte buffer;
+    runs break at doc boundaries (adjacent docs never merge)."""
+    rs_mask = mask.copy()
+    rs_mask[1:] &= ~mask[:-1]  # run starts, ignoring doc boundaries
+    ds_idx = starts[ends > starts]  # a doc's first byte always starts a run
+    rs_mask[ds_idx] = mask[ds_idx]
+    rs = np.nonzero(rs_mask)[0]
+    return np.searchsorted(rs, ends) - np.searchsorted(rs, starts)
+
+
+def _token_count_batch(t: pa.Table) -> pa.Table:
+    """Whitespace token counts = number of maximal non-whitespace byte runs
+    per doc — one vectorized pass over the batch's UTF-8 buffer (zero-copy
+    from Arrow), no per-row Python. Output-identical to ``len(s.split())``
+    for ASCII-whitespace text (parity-tested against the scalar twin)."""
+    n = t.num_rows
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    data, starts, ends = _utf8_buffers(t["text"])
+    if len(data) == 0:
+        counts = np.zeros(n, np.int64)
+    else:
+        # complement of _WS_LUT as a comparison chain (2x the LUT gather's
+        # throughput on this box's memory system)
+        nonws = ((data > 32) | (data < 9)
+                 | ((data >= 14) & (data <= 27)))
+        counts = _runs_per_doc(nonws, starts, ends)
+    return pa.table({"doc_id": t["doc_id"],
+                     "n_tokens": pa.array(counts, pa.int64())})
+
+
+def token_count_rows(texts: list[str]) -> list[int]:
+    """Scalar twin (the original per-row implementation), kept as the parity
+    reference for the byte kernel."""
+    return [len(s.split()) for s in texts]
+
+
 def token_count(sf_dir: str):
     """Whitespace token counts per document (the BPE-ish regex twin is in
     TokenCounter). Matches the DuckDB oracle's regexp_split_to_array."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def count(t: pa.Table) -> pa.Table:
-        n = [len(s.split()) for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n, pa.int64())})
-
-    return ds.map_batches(count, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _token_count_batch, batch_format="pyarrow", batch_size=4096)
 
 
 class TokenCounter:
-    """BPE-ish subword token estimate: word-piece regex compiled once per
-    actor; counts words + punctuation runs + digit runs."""
+    """BPE-ish subword token estimate: alphabetic runs + digit runs + one
+    piece per other non-space character (the ``[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]``
+    contract). The batch kernel is one vectorized pass over the batch's
+    UTF-8 buffer: run counting like :func:`_token_count_batch` for the two
+    run classes, plus a positional count of other non-continuation bytes
+    (so a multi-byte UTF-8 char counts once, like the regex). The compiled
+    regex stays as the scalar parity twin (``count_pieces_rows``)."""
 
     def __init__(self):
         self.pat = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
 
+    def count_pieces_rows(self, texts: list[str]) -> list[int]:
+        """Scalar twin (the original per-row implementation)."""
+        return [len(self.pat.findall(s)) for s in texts]
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        n = [len(self.pat.findall(s)) for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "n_pieces": pa.array(n, pa.int64())})
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_pieces": pa.array([], pa.int64())})
+        data, starts, ends = _utf8_buffers(t["text"])
+        if len(data) == 0:
+            counts = np.zeros(n, np.int64)
+        else:
+            alpha = ((data >= 65) & (data <= 90)) | ((data >= 97)
+                                                     & (data <= 122))
+            digit = (data >= 48) & (data <= 57)
+            other = (~(alpha | digit | _WS_LUT[data])
+                     & ((data & 0xC0) != 0x80))
+            op = np.nonzero(other)[0]
+            counts = (_runs_per_doc(alpha, starts, ends)
+                      + _runs_per_doc(digit, starts, ends)
+                      + (np.searchsorted(op, ends)
+                         - np.searchsorted(op, starts)))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_pieces": pa.array(counts, pa.int64())})
 
 
 def token_pieces(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        lambda t: _cached(TokenCounter)(t), batch_format="pyarrow"
+        lambda t: _cached(TokenCounter)(t), batch_format="pyarrow",
+        batch_size=4096,
     )
 
 
@@ -373,6 +446,7 @@ class Fingerprinter:
         self.window = window
 
     _B = np.uint64(0x100000001B3)
+    _BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 
     def fingerprint(self, text: str) -> list[int]:
         """Vectorized: polynomial rolling k-gram hash (sliding window view x
@@ -398,13 +472,117 @@ class Fingerprinter:
             hs, self.window).min(axis=1)
         return np.unique(mins)[:64].tolist()
 
+    def _kgram_hashes(self, data: np.ndarray) -> np.ndarray:
+        """Avalanched k-gram hashes for EVERY position of a byte buffer,
+        value-identical to :meth:`fingerprint`'s per-doc sliding-window
+        product-sum: hash(s) = fmix-ish(sum_j data[s+j] * B^(k-1-j) mod
+        2^64), computed from an inverse-power prefix sum so the cost is
+        O(bytes), not O(bytes * k). B is odd, hence invertible mod 2^64,
+        so the prefix-difference form is exact."""
+        nb = len(data)
+        k = self.k
+        ipows = np.empty(nb, dtype=np.uint64)
+        ipows[0] = 1
+        if nb > 1:
+            np.cumprod(np.full(nb - 1, self._BINV, dtype=np.uint64),
+                       out=ipows[1:])
+        pows = np.empty(nb, dtype=np.uint64)
+        pows[0] = 1
+        if nb > 1:
+            np.cumprod(np.full(nb - 1, self._B, dtype=np.uint64),
+                       out=pows[1:])
+        pref = np.zeros(nb + 1, dtype=np.uint64)
+        np.cumsum(data.astype(np.uint64) * ipows, out=pref[1:])
+        s = np.arange(nb - k + 1)
+        hs = ((pref[s + k] - pref[s]) * pows[s]
+              * (self._B ** np.uint64(k - 1)))
+        hs ^= hs >> np.uint64(33)
+        hs *= np.uint64(0xFF51AFD7ED558CCD)
+        hs ^= hs >> np.uint64(33)
+        return hs
+
+    # doc-aligned buffer chunk: keeps the ~24 B/byte prefix temporaries a
+    # few tens of MB (same rationale as _word_hash_batch)
+    CHUNK_BYTES = 1 << 20
+
+    def fingerprint_batch(self, col) -> list[np.ndarray]:
+        """Whole-batch twin of :meth:`fingerprint` (the scalar parity
+        reference): k-gram hashes for the batch's concatenated UTF-8 buffer
+        in one pass per chunk, doc-local sliding-window minima, per-doc
+        sorted-distinct cap-64 via one lexsort — no per-document rolling-
+        hash loop. Returns one uint64 array per doc, bit-identical to the
+        scalar method."""
+        data, starts, ends = _utf8_buffers(col)
+        n = len(starts)
+        lengths = ends - starts
+        k, W = self.k, self.window
+        out: list[np.ndarray] = [np.empty(0, np.uint64)] * n
+        # short docs (0 < len < k): blake2b fallback, rare by construction
+        for d in np.nonzero((lengths > 0) & (lengths < k))[0]:
+            h = hashlib.blake2b(data[starts[d]:ends[d]].tobytes(),
+                                digest_size=8).digest()
+            out[d] = np.array([int.from_bytes(h, "big")], dtype=np.uint64)
+        longd = np.nonzero(lengths >= k)[0]
+        d0 = 0
+        while d0 < len(longd):
+            d1 = int(np.searchsorted(ends[longd],
+                                     ends[longd[d0]] + self.CHUNK_BYTES,
+                                     side="left"))
+            d1 = min(max(d1, d0 + 1), len(longd))
+            docs = longd[d0:d1]
+            lo = starts[docs[0]]
+            hs = self._kgram_hashes(data[lo:ends[docs[-1]]])
+            s_l = starts[docs] - lo
+            m = lengths[docs] - k + 1  # k-gram count per doc
+            a = m <= W  # single-min docs
+            if a.any():
+                am, as_ = m[a], s_l[a]
+                offs = np.r_[0, np.cumsum(am)[:-1]]
+                idx = np.arange(int(am.sum())) + np.repeat(as_ - offs, am)
+                mins = np.minimum.reduceat(hs[idx], offs)
+                for i, d in enumerate(docs[a]):
+                    out[d] = mins[i:i + 1]
+            b = ~a
+            if b.any():
+                smins = np.lib.stride_tricks.sliding_window_view(
+                    hs, W).min(axis=1)
+                bm, bs = m[b] - W + 1, s_l[b]
+                offs = np.r_[0, np.cumsum(bm)[:-1]]
+                idx = np.arange(int(bm.sum())) + np.repeat(bs - offs, bm)
+                v = smins[idx]
+                doc_of = np.repeat(np.arange(len(bm)), bm)
+                order = np.lexsort((v, doc_of))
+                vs, ds_ = v[order], doc_of[order]
+                newv = np.r_[True, (ds_[1:] != ds_[:-1])
+                             | (vs[1:] != vs[:-1])]
+                uv, ud = vs[newv], ds_[newv]
+                # per-doc ascending rank -> np.unique(mins)[:64] cap
+                dstarts = np.r_[0, np.nonzero(ud[1:] != ud[:-1])[0] + 1]
+                dcounts = np.diff(np.r_[dstarts, len(uv)])
+                rank = np.arange(len(uv)) - np.repeat(dstarts, dcounts)
+                uv, ud = uv[rank < 64], ud[rank < 64]
+                counts = np.bincount(ud, minlength=len(bm))
+                offs2 = np.r_[0, np.cumsum(counts)]
+                for i, d in enumerate(docs[b]):
+                    out[d] = uv[offs2[i]:offs2[i + 1]]
+            d0 = d1
+        return out
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        fps = [self.fingerprint(s) for s in t["text"].to_pylist()]
+        fps = self.fingerprint_batch(t["text"])
+        counts = np.fromiter((len(f) for f in fps), np.int64,
+                             count=len(fps))
+        flat = (np.concatenate(fps) if fps else np.empty(0, np.uint64))
+        # (f - 2^63) mod 2^64 reinterpreted as int64 == int(f) - 2^63
+        vals = (flat - np.uint64(1 << 63)).view(np.int64)
+        offsets = np.zeros(len(fps) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        fp_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          pa.array(vals, pa.int64()))
         return pa.table({
             "doc_id": t["doc_id"],
-            "fingerprint": pa.array([[f - (1 << 63) for f in fp] for fp in fps],
-                                    pa.list_(pa.int64())),
-            "n_fp": pa.array([len(f) for f in fps], pa.int64()),
+            "fingerprint": fp_col,
+            "n_fp": pa.array(counts, pa.int64()),
         })
 
 

@@ -596,3 +596,55 @@ def test_pack_shards_invariants(tmp_path, ray_session):
     rows2 = pack_shards(str(tmp_path), budget=budget).take_all()
     assert sorted(rows, key=lambda r: r["doc_id"]) == \
         sorted(rows2, key=lambda r: r["doc_id"])
+
+
+# -- round-4 byte-kernel parity (vectorized twins vs scalar references) ------
+
+def _random_texts(seed=11, n=2000):
+    import random
+    import string
+
+    rng = random.Random(seed)
+    chars = (string.ascii_letters + string.digits
+             + " \t\n\v\f\r.,;:!?()@#$%-_'\"" + "\x1c\x1d\x1e\x1f")
+    out = ["".join(rng.choice(chars) for _ in range(rng.randrange(0, 300)))
+           for _ in range(n)]
+    # multi-byte UTF-8 (continuation bytes must not double-count), plus the
+    # degenerate shapes
+    out += ["", " ", "   ", "a", "\t\n", "x " * 5, "é" * 3, "中 文 字",
+            "mixé tökens 中文", BASE]
+    return out
+
+
+def _as_table(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_count_kernel_parity():
+    from edgar_ray.pipelines.text import _token_count_batch, token_count_rows
+
+    texts = _random_texts()
+    got = _token_count_batch(_as_table(texts))["n_tokens"].to_pylist()
+    assert got == token_count_rows(texts)
+
+
+def test_token_pieces_kernel_parity():
+    from edgar_ray.pipelines.text import TokenCounter
+
+    tc = TokenCounter()
+    texts = _random_texts(seed=12)
+    got = tc(_as_table(texts))["n_pieces"].to_pylist()
+    assert got == tc.count_pieces_rows(texts)
+
+
+def test_fingerprint_batch_parity():
+    from edgar_ray.pipelines.text import Fingerprinter
+
+    f = Fingerprinter()
+    texts = _random_texts(seed=13, n=500)
+    # include docs shorter than k and exactly k/window boundary lengths
+    texts += ["abc", "a" * 8, "a" * 23, "b" * 24, BASE * 3]
+    batch = f.fingerprint_batch(_as_table(texts)["text"])
+    for i, s in enumerate(texts):
+        assert [int(x) for x in batch[i]] == [int(x) for x in f.fingerprint(s)], i
