@@ -319,8 +319,9 @@ def crawl(
                         break
                     except Exception as e:  # transient transport error
                         last_err = e
-                        sleeper.sleep(delay)
-                        delay *= 2
+                        if attempt < 3:  # sleep only BETWEEN attempts
+                            sleeper.sleep(delay)
+                            delay *= 2
                 if last_err is not None:
                     raise RuntimeError(
                         f"robots.txt fetch for {h} failed after retries "

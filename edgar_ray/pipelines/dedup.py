@@ -449,7 +449,16 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.7, num_perm: int = 64,
     """MinHash+LSH near-dup pairs: shingle -> minhash + band explode (one
     fused map stage) -> bucketed groupby(band_id, band_hash) -> verified
     candidate pairs (estimated Jaccard = matching minhash fraction >=
-    threshold). Returns unique (id_a, id_b)."""
+    threshold). Returns unique (id_a, id_b).
+
+    Non-ASCII feature note (applies to simhash/ngram-jaccard too): word
+    features come from the byte-level ``_word_hash_batch`` tokenizer —
+    non-ASCII bytes all count as word characters (so non-ASCII PUNCTUATION
+    glues adjacent words into one feature) and only ASCII letters
+    case-fold. On non-ASCII text this shifts which near-dups are recalled
+    relative to a Unicode ``\\w+`` tokenizer; identical byte content always
+    produces identical features, so planted-pair recall (including the
+    non-ASCII planted test) pins the intended behavior."""
     rows = num_perm // bands
     ds = _docs(sf_dir)
 
@@ -559,7 +568,8 @@ class SimHasher:
 
 def dedup_simhash(sf_dir: str, hamming_max: int = 3):
     """SimHash near-dup pairs via 16-bit chunk bucketing + in-bucket hamming
-    verification (vectorized popcount)."""
+    verification (vectorized popcount). Word features are byte-level — see
+    the non-ASCII note on :func:`dedup_minhash_lsh`."""
     ds = _docs(sf_dir)
     sigs = ds.map_batches(lambda t: _cached(SimHasher)(t), batch_format="pyarrow")
 
@@ -614,7 +624,9 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 3):
     """Exact n-gram Jaccard near-dup pairs. Candidate generation by smallest
     shingle (documents sharing their minimum shingle meet in one group), then
     exact Jaccard verify in-group. A one-permutation LSH: cheap, deterministic,
-    recall-bounded; the MinHash variant is the production path."""
+    recall-bounded; the MinHash variant is the production path. Word
+    features are byte-level — see the non-ASCII note on
+    :func:`dedup_minhash_lsh`."""
     ds = _docs(sf_dir)
 
     def add_key(t: pa.Table) -> pa.Table:

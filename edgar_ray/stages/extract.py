@@ -11,6 +11,7 @@ around it stays in Arrow.
 from __future__ import annotations
 
 import re
+import zlib
 from urllib.parse import urlsplit
 
 import pyarrow as pa
@@ -216,6 +217,12 @@ def _facts_raw_fields() -> list[tuple[str, pa.DataType]]:
         ]
         + [(fact_col(f), pa.float64()) for f in FACT_FIELDS]
         + [(f"collected_{s}", pa.uint64()) for s in ("entity", "ops", "bs", "cf")]
+        # stable per-page tie-break component for the merge order key: if a
+        # duplicate page of one accession ever reaches the merge (replayed
+        # fetch, double-written checkpoint), ties at (doc_priority,
+        # report_num) resolve by this url hash instead of partial arrival
+        # order (see stages/merge.py order-key layout)
+        + [("page_crc", pa.int32())]
     )
 
 
@@ -252,6 +259,8 @@ def extract_facts(batch: pa.Table) -> pa.Table:
             out[fact_col(f)].append(fr[f.struct][f.name])
         for s in ("entity", "ops", "bs", "cf"):
             out[f"collected_{s}"].append(fr[s]["CollectedData"])
+        out["page_crc"].append(
+            zlib.crc32(cols["url"][i].encode()) & 0x7FFFFF)
     return pa.table({name: pa.array(out[name], typ) for name, typ in FACTS_RAW_FIELDS})
 
 

@@ -49,17 +49,32 @@ class SystemClock:
     across actors (and, to NTP precision, across nodes) — per-actor
     construction-time anchors would skew each actor's origin and break the
     host-global slot semantics. Without ``t0_epoch`` the clock anchors at
-    construction (single-process use)."""
+    construction (single-process use).
+
+    Clock-step boundary: a wall-clock STEP mid-crawl (NTP slew is fine, a
+    hard step is not) moves ``time.time()`` for every actor. ``now()`` is
+    clamped monotone non-decreasing per actor, so a backward step can only
+    make fetchers MORE conservative (they wait until the wall clock catches
+    back up to their high-water mark) — the 'never fires before its
+    host-global slot' guarantee survives. A large FORWARD step still opens
+    slots early on every actor simultaneously; that boundary is inherent to
+    wall-clock-anchored cross-node budgets and is accepted here."""
 
     def __init__(self, t0_epoch: float | None = None):
         self._t0_epoch = t0_epoch
         self._mono0 = time.monotonic()
+        self._high_water = float("-inf")
 
     def now(self) -> float:
-        """Seconds since the crawl (shared anchor) or clock construction."""
+        """Seconds since the crawl (shared anchor) or clock construction;
+        monotone non-decreasing per actor even across wall-clock steps."""
         if self._t0_epoch is not None:
-            return time.time() - self._t0_epoch
-        return time.monotonic() - self._mono0
+            v = time.time() - self._t0_epoch
+        else:
+            v = time.monotonic() - self._mono0
+        if v > self._high_water:
+            self._high_water = v
+        return self._high_water
 
     def sleep(self, seconds: float) -> None:
         time.sleep(seconds)

@@ -49,11 +49,30 @@ _KEY_COLS = ("ticker", "cik", "accession", "filing_type", "filed_date")
 _STRUCTS = ("entity", "ops", "bs", "cf")
 _FACT_COLS = [fact_col(f) for f in FACT_FIELDS]
 # per-fact order-key columns carried by PARTIAL rows: the (doc priority,
-# report_num) rank of the batch-local first-nonzero winner, encoded as one
-# int64 (prio << 32 | repnum — total order, min = winner); the sentinel
-# means "no nonzero value seen in this partial"
+# report_num, page url crc) rank of the batch-local first-nonzero winner,
+# encoded as one int64 (prio << 55 | repnum << 23 | crc23 — total order,
+# min = winner); the sentinel means "no nonzero value seen in this
+# partial". The 23-bit url-crc tail makes ties at (prio, repnum) —
+# duplicate pages of one accession from a replayed fetch or double-written
+# checkpoint — resolve deterministically instead of by partial arrival
+# order; only a 23-bit crc collision between two DIFFERENT duplicate pages
+# falls back to arrival order. Max key = 99<<55 + (2^31-1)<<23 + 2^23-1
+# < 2^62, so the sentinel still sorts last.
 _ORD_COLS = [f"ord__{c}" for c in _FACT_COLS]
 _ORD_SENT = np.int64(1) << np.int64(62)
+
+
+def _page_ordkey(t: pa.Table, prio: np.ndarray,
+                 repnum: np.ndarray) -> np.ndarray:
+    """int64 merge order key (prio << 55 | repnum << 23 | page_crc). The
+    ``page_crc`` column is optional (synthetic merge inputs in tests omit
+    it): absent -> 0, the legacy (prio, repnum)-only order."""
+    if "page_crc" in t.column_names:
+        pcrc = t["page_crc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        pcrc = np.zeros(len(prio), np.int64)
+    rep = np.minimum(repnum, np.int64((1 << 31) - 1))
+    return (prio << np.int64(55)) | (rep << np.int64(23)) | pcrc
 
 
 def _add_bucket(num_buckets: int):
@@ -96,7 +115,7 @@ def partial_merge_batch(num_buckets: int, count_pages: bool = False):
             dtype=np.int64, count=n,
         )
         repnum = t["report_num"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ordkey = (prio << np.int64(32)) | repnum
+        ordkey = _page_ordkey(t, prio, repnum)
         order = np.lexsort((ordkey, inv))
         inv_s, key_s = inv[order], ordkey[order]
         starts = np.nonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])[0]
@@ -209,7 +228,9 @@ def merge_bucket_group(group: pa.Table) -> pa.Table:
         dtype=np.int64, count=n,
     )
     repnum = group["report_num"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((repnum, prio, inv))
+    # same total order as the partial path's _page_ordkey (url-crc tail
+    # resolves duplicate-page ties deterministically)
+    order = np.lexsort((_page_ordkey(group, prio, repnum), inv))
     inv_s = inv[order]
     starts = np.nonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])[0]
 

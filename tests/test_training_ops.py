@@ -648,3 +648,33 @@ def test_fingerprint_batch_parity():
     batch = f.fingerprint_batch(_as_table(texts)["text"])
     for i, s in enumerate(texts):
         assert [int(x) for x in batch[i]] == [int(x) for x in f.fingerprint(s)], i
+
+
+def test_minhash_nonascii_planted_pair(tmp_path, ray_session):
+    """Pins the byte-level tokenizer's behavior on non-ASCII text: a planted
+    Cyrillic near-dup pair (one word changed out of ~90) is recalled by
+    MinHash+LSH, and identical non-ASCII byte content yields identical
+    signatures (the documented guarantee of _word_hash_batch)."""
+    import numpy as np
+
+    from edgar_ray.pipelines.dedup import MinHasher, dedup_minhash_lsh
+
+    ru = ("данные обучение корпус модель язык токен слово документ "
+          "частота анализ система вектор матрица граф число очень "
+          "большой маленький быстрый медленный новый старый ").split()
+    base = " ".join(ru * 4)
+    texts = [base, base.replace("матрица", "матрицы", 1),
+             "совсем другой документ о прочем " * 5]
+    rng = np.random.default_rng(5)
+    for i in range(3, 40):
+        texts.append(" ".join(rng.choice(ru, size=50).tolist()) + f" doc{i}")
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    pairs = dedup_minhash_lsh(str(tmp_path)).to_pandas()
+    assert (1, 0) in set(zip(pairs["id_b"], pairs["id_a"])) or \
+        (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+    # identical bytes -> identical signature, regardless of script
+    mh = MinHasher()
+    s = mh.signatures(pa.array([base, base, base + " хвост"], pa.string()))
+    assert (s[0] == s[1]).all() and not (s[0] == s[2]).all()
