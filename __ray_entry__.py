@@ -80,6 +80,20 @@ def entry() -> Any:
     return res.filings_facts
 
 
+def _with_tier_golden(op: str, fn: Callable[[str], Any]
+                      ) -> Callable[[str], Any]:
+    """Wrap a query so its per-tier golden (the independent spec-level
+    evaluator in edgar_ray/sources/tier_goldens.py) exists on disk before
+    the driver's oracle SQL reads it."""
+    def run(sf: str):
+        from edgar_ray.sources.tier_goldens import ensure_golden
+
+        ensure_golden(op, sf)
+        return fn(sf)
+
+    return run
+
+
 def _queries_all() -> dict[str, Callable[[str], Any]]:
     from edgar_ray.pipelines import (
         dedup, multimodal, relational, sampling, similarity, text, windows)
@@ -191,7 +205,9 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         import hashlib as _h
 
         from edgar_ray.pipelines import similarity as sim
+        from edgar_ray.sources.tier_goldens import ensure_golden
 
+        ensure_golden("similarity_ann_ivf_partitioned", sf)
         tier = os.path.basename(os.path.normpath(sf))
         idx = f"/tmp/edgar_ray_ivf_{tier}_{_h.sha1(sf.encode()).hexdigest()[:6]}"
         if not os.path.exists(os.path.join(idx, "centroids.npy")):
@@ -232,11 +248,13 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         # dedup suite
         "dedup_exact": dedup.dedup_exact,
         "dedup_chunk": dedup.dedup_chunk,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_minhash_lsh": _with_tier_golden(
+            "dedup_minhash_lsh", dedup.dedup_minhash_lsh),
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "dedup_embedding_lsh": _with_tier_golden(
+            "dedup_embedding_lsh", dedup.dedup_embedding_lsh),
         "dedup_clusters": dedup.dedup_connected_components,
         # same CC operator over the SQL-expressible capped embedding edge
         # set -> oracle-verified via a DuckDB recursive-CTE closure
@@ -247,6 +265,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "similarity_knn_batch": similarity.knn_batch,
         "similarity_ann_lsh": similarity.ann_lsh,
         "similarity_ann_ivf": similarity.ann_ivf,
+        "similarity_ann_recall": _with_tier_golden(
+            "similarity_ann_recall", similarity.ann_recall),
         "similarity_range_search": similarity.range_search,
         "similarity_ann_ivf_partitioned": _ann_ivf_partitioned,
         # text analysis
@@ -254,8 +274,12 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "text_token_pieces": text.token_pieces,
         "text_quality": text.quality_scores,
         "text_quality_filter": text.quality_filter,
-        "text_langid": text.langid,
-        "text_fingerprint": text.fingerprints,
+        "text_langid": _with_tier_golden("text_langid", text.langid),
+        # driver-facing fingerprint = scalar summary projection (the list
+        # column itself is in text_fingerprint_full, rows-only by nature)
+        "text_fingerprint": _with_tier_golden(
+            "text_fingerprint", text.fingerprint_summary),
+        "text_fingerprint_full": text.fingerprints,
         "text_repetition": text.repetition_signals,
         "text_vocabulary": text.vocabulary,
         "text_pii_scrub": text.pii_scrub,
@@ -301,37 +325,46 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
 # ``extra_queries()``/``extra_oracle_sql()`` and are verified by the same
 # local oracle harness (tests/test_queries_oracle.py runs BOTH registries).
 _DRIVER_NAMES = [
+    # ROUND-4 ROTATION: long-driver-stable entries (q_filter_project,
+    # q_sort_desc, q_top25_global, q_window_hourly, q_first/last_wins,
+    # q_distinct_union, crawl_live_transport, filings_getters, two
+    # multimodal metas — hash-green in r1-r3 and/or by-construction twins
+    # of retained rows) moved to extras so the never-driver-checked ops
+    # (pii_scrub, vocabulary, mix_*, range_search, percentiles,
+    # string_classify, left/semi/distinct-count joins, ann_recall) earn
+    # driver CORRECTNESS rows. With the per-tier goldens
+    # (sources/tier_goldens.py) every one of the 50 is oracle-backed.
     # crawl engine + filings API (oracle twins: generator golden tables)
-    "crawl_filings_facts", "crawl_order", "crawl_live_transport",
+    "crawl_filings_facts", "crawl_order",
     "crawl_text_parity", "crawl_missing_docs",
-    "filings_getters", "filings_collected", "filings_folder_json",
+    "filings_collected", "filings_folder_json",
     # multimodal (binary stages' oracle-checkable metadata projections)
-    "multimodal_frame_meta", "multimodal_resize_meta",
     "multimodal_features_meta", "multimodal_payload_stats",
     # relational operator coverage (SURVEY.md §2 J/O/D/A mappings)
-    "q1_pricing_summary", "q_filter_project", "q_derived_fields",
-    "q_window_hourly", "q_collected_counts", "q_sort_desc", "q_top25_global",
-    "q_topk_per_group", "q_last_wins", "q_first_wins", "q_distinct_union",
-    "q_broadcast_join", "q_hash_join", "q_anti_join",
+    "q1_pricing_summary", "q_derived_fields", "q_collected_counts",
+    "q_topk_per_group", "q_broadcast_join", "q_hash_join", "q_anti_join",
+    "q_left_join", "q_semi_join", "q_distinct_count", "q_percentiles",
+    "q_string_classify",
     # temporal / windowed custom operators
     "q_asof_join", "q_window_sliding", "q_session_windows",
     # dedup suite (simhash / ngram-jaccard stay registered via extras —
-    # rows-only siblings of the oracle-backed minhash path; dedup_chunk is
-    # the oracle-backed sub-document dedup)
+    # rows-only siblings of the golden-oracled minhash path)
     "dedup_exact", "dedup_chunk", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_clusters_embedding",
-    # similarity search (ann_lsh -> extras; ivf_partitioned shows the
-    # prune-at-read ANN scale path to the driver)
+    # similarity search (ann_lsh -> extras, measured by ann_recall;
+    # ivf_partitioned shows the prune-at-read ANN scale path)
     "similarity_knn_brute", "similarity_knn_batch",
-    "similarity_ann_ivf_partitioned",
+    "similarity_ann_ivf_partitioned", "similarity_ann_recall",
+    "similarity_range_search",
     # text analysis
     "text_token_count", "text_quality", "text_quality_filter", "text_langid",
-    "text_fingerprint", "text_repetition",
+    "text_fingerprint", "text_repetition", "text_pii_scrub",
+    "text_vocabulary",
     # dataset curation
     "curation_train_test_split", "curation_sample_stratified",
     "curation_length_buckets", "curation_contamination", "curation_dedup_rate",
-    "curation_pack_shards",
+    "curation_pack_shards", "curation_mix_weights", "curation_mix_emit",
 ]
 assert len(_DRIVER_NAMES) == 50
 
@@ -406,8 +439,21 @@ def _crawl_oracle_sql() -> dict[str, str]:
     }
 
 
+def _ensure_tier_goldens() -> None:
+    """Eagerly materialize the per-tier goldens for the tiers the driver's
+    correctness gate can use (the query callables also ensure their own
+    tier, covering local sf0.1 runs)."""
+    from edgar_ray.sources.tier_goldens import GOLDEN_OPS, ensure_golden
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if os.path.isdir(sf):
+            for op in GOLDEN_OPS:
+                ensure_golden(op, sf)
+
+
 def oracle_sql() -> dict[str, str]:
     _corpus()  # goldens must exist whenever the driver runs these twins
+    _ensure_tier_goldens()
     all_sql = _oracle_sql_all()
     return {name: all_sql[name] for name in _DRIVER_NAMES if name in all_sql}
 
@@ -423,6 +469,7 @@ def _oracle_sql_all() -> dict[str, str]:
     # constants the Ray kernel uses (both sides are RE2, so match semantics
     # are identical; patterns contain no single quotes by construction).
     from edgar_ray.pipelines.text import PII_PATTERNS
+    from edgar_ray.sources import tier_goldens as _tg
 
     (e_pat, e_rep), (p_pat, p_rep), (i_pat, i_rep) = PII_PATTERNS
     _PII_ORACLE_SQL = f"""
@@ -875,9 +922,25 @@ def _oracle_sql_all() -> dict[str, str]:
                    octet_length(encode(text)) AS payload_bytes
             FROM documents
         """,
-        # dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
-        # similarity_ann_{lsh,ivf} / text_langid / text_fingerprint /
-        # multimodal_{features,resize,frame_sample} / filings_* / crawl_* :
-        # non-SQL-expressible (stateful / approximate / model-driven /
-        # binary transforms — golden-verified in tests) -> rows-only check.
+        # hash/LSH/approximate ops whose semantics no SQL engine expresses:
+        # per-tier goldens from the INDEPENDENT spec-level evaluators in
+        # edgar_ray/sources/tier_goldens.py (scalar word/shingle hashing,
+        # global band grouping, whole-corpus numpy LSH/IVF), keyed by the
+        # tier's sum(n_chars) so one golden dir serves every tier
+        "dedup_minhash_lsh": _tg.golden_oracle_sql(
+            "dedup_minhash_lsh", "id_a, id_b"),
+        "dedup_embedding_lsh": _tg.golden_oracle_sql(
+            "dedup_embedding_lsh", "id_a, id_b"),
+        "similarity_ann_ivf_partitioned": _tg.golden_oracle_sql(
+            "similarity_ann_ivf_partitioned", "vec_id"),
+        "similarity_ann_recall": _tg.golden_oracle_sql(
+            "similarity_ann_recall", "query_id, method, n_hits, recall"),
+        "text_langid": _tg.golden_oracle_sql(
+            "text_langid", "doc_id, lang_pred, lang"),
+        "text_fingerprint": _tg.golden_oracle_sql(
+            "text_fingerprint", "doc_id, n_fp, fp_min, fp_xor"),
+        # dedup_simhash / dedup_ngram_jaccard / similarity_ann_lsh /
+        # text_fingerprint_full / multimodal_{features,resize,frame_sample}:
+        # rows-only siblings of oracle-backed paths (planted/recall/golden
+        # tested in the local suite).
     }

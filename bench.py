@@ -108,6 +108,7 @@ def run_bench() -> dict:
         "politeness_violations": res.metrics["politeness_violations"],
         "robots_blocked": res.metrics["robots_blocked"],
         "steady_pages_per_sec": res.metrics.get("steady_pages_per_sec", 0.0),
+        "setup_s": res.metrics.get("setup_s", 0.0),
         "wave_timings": res.metrics.get("wave_timings", {}),
     }
 
@@ -269,9 +270,86 @@ def run_scaling(repeat: int = 1) -> dict:
     }
 
 
+def _settle():
+    deadline = time.monotonic() + 45
+    while time.monotonic() < deadline:
+        probe = subprocess.run(["pgrep", "-f", "raylet"],
+                               capture_output=True, text=True)
+        if probe.returncode != 0:
+            break
+        time.sleep(1)
+    time.sleep(5)
+
+
+def run_scaling_bw() -> dict:
+    """Bandwidth-controlled N->4N scaling evidence (protocol v4).
+
+    The pinned single-8-CPU leg of --scaling borrows the idle 24 cores'
+    MEMORY BANDWIDTH, so it models an 8-core node with 4x a fair node's
+    bandwidth — which understates the true two-cluster ratio (on a real
+    cluster, going N->4N nodes multiplies bandwidth along with cores; on
+    one box it does not). Control: run FOUR independent 8-CPU legs
+    CONCURRENTLY, each pinned to a distinct 8-core set — symmetric
+    contention gives each leg ~1/4 of the socket, exactly the per-core
+    bandwidth the 32-CPU leg gets. Efficiency = thr32 / sum(thr8_i): both
+    sides of the ratio then use the whole socket, so the bandwidth ceiling
+    cancels and the ratio measures the ENGINE's orchestration/shuffle
+    scaling. Boundary: the 4 legs are independent jobs (no cross-node
+    shuffle traffic), so network effects are out of scope — as they are
+    for every measurement this sandbox can make."""
+    _bench_corpus()  # build once before the concurrent legs race to read it
+    procs = []
+    for i in range(4):
+        env = dict(os.environ, RAY_GRAFT_CPUS="8",
+                   GRAFT_BENCH_MODE="crawl",
+                   GRAFT_BENCH_CORPUS=SCALING_CORPUS)
+        cmd = ["taskset", "-c", f"{8 * i}-{8 * i + 7}", sys.executable,
+               os.path.abspath(__file__)]
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))))
+    legs = []
+    for p in procs:
+        out, _ = p.communicate()
+        legs.append(json.loads(out.strip().splitlines()[-1]))
+    _settle()
+    env = dict(os.environ, RAY_GRAFT_CPUS="32", GRAFT_BENCH_MODE="crawl",
+               GRAFT_BENCH_CORPUS=SCALING_CORPUS)
+    out = subprocess.run(
+        ["taskset", "-c", "0-31", sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+    big = json.loads(out.strip().splitlines()[-1])
+    thr8 = [d["crawl"]["pages_parsed_per_sec"] for d in legs]
+    st8 = [d["crawl"].get("steady_pages_per_sec") or 0.0 for d in legs]
+    thr32 = big["crawl"]["pages_parsed_per_sec"]
+    st32 = big["crawl"].get("steady_pages_per_sec") or 0.0
+    return {
+        "metric": "scaling_efficiency_bw_controlled",
+        "value": round(thr32 / sum(thr8), 3),
+        "unit": "ratio",
+        "protocol": "4 concurrent pinned 8-cpu legs vs 1 pinned 32-cpu leg",
+        "steady_scaling_efficiency": round(st32 / sum(st8), 3) if all(st8)
+        else 0.0,
+        "crawl_pages_per_sec_8_each": thr8,
+        "steady_pages_per_sec_8_each": st8,
+        "crawl_pages_per_sec_32": thr32,
+        "steady_pages_per_sec_32": st32,
+        "headline_sec_8_each": [d["value"] for d in legs],
+        "headline_sec_32": big["value"],
+        "wave2_8_each": [d["crawl"].get("wave_timings", {}).get("2", {})
+                         for d in legs],
+        "wave2_32": big["crawl"].get("wave_timings", {}).get("2", {}),
+        "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    if "--scaling" in sys.argv:
+    if "--scaling-bw" in sys.argv:
+        print(json.dumps(run_scaling_bw()))
+    elif "--scaling" in sys.argv:
         rep = 1
         if "--repeat" in sys.argv:
             rep = int(sys.argv[sys.argv.index("--repeat") + 1])

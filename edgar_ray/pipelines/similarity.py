@@ -287,6 +287,32 @@ def ann_ivf_partitioned(index_dir: str, sf_dir: str, query_id: int = 0,
     )
 
 
+def ann_recall(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
+               k: int = 10):
+    """Quantitative quality row for the approximate paths: recall@k of
+    ``ann_lsh`` and ``ann_ivf`` against the exact ``knn_brute`` baseline,
+    per query. Each cell runs the REAL distributed pipeline (not a local
+    re-simulation), so the number measures what a user gets; the oracle twin
+    is the independent whole-corpus numpy evaluator in
+    sources/tier_goldens.py. The testdata embeddings are near-random — the
+    hostile regime for any sublinear index — so recalls well below 1.0 are
+    the honest expected output, not a defect."""
+    rows = []
+    for qid in query_ids:
+        exact = set(knn_brute(sf_dir, query_id=qid, k=k)
+                    .to_pandas()["vec_id"])
+        for method, fn in (("lsh", ann_lsh), ("ivf", ann_ivf)):
+            got = set(fn(sf_dir, query_id=qid, k=k).to_pandas()["vec_id"])
+            hits = len(got & exact)
+            rows.append((int(qid), method, hits, hits / k))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "method": pa.array([r[1] for r in rows], pa.string()),
+        "n_hits": pa.array([r[2] for r in rows], pa.int64()),
+        "recall": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
 def range_search(sf_dir: str, query_id: int = 0, threshold: float = 0.25):
     """Radius search: every vector with cosine >= ``threshold`` to a stored
     query — the other standard similarity-API shape next to top-k. Pure

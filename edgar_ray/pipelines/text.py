@@ -593,6 +593,38 @@ def fingerprints(sf_dir: str):
     )
 
 
+def _fingerprint_summary_batch(t: pa.Table) -> pa.Table:
+    """Scalar projection of the winnowing fingerprint (driver-hash-checkable
+    where the list<int64> column is not): count, minimum and xor-fold of the
+    per-doc fingerprint mins. Empty fingerprints emit 0 sentinels."""
+    fps = _cached(Fingerprinter).fingerprint_batch(t["text"])
+    n = len(fps)
+    counts = np.fromiter((len(f) for f in fps), np.int64, count=n)
+    mins = np.zeros(n, np.uint64)
+    xors = np.zeros(n, np.uint64)
+    for i, f in enumerate(fps):
+        if len(f):
+            mins[i] = f[0]  # per-doc mins are sorted ascending
+            xors[i] = np.bitwise_xor.reduce(f)
+    shift = np.uint64(1 << 63)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_fp": pa.array(counts, pa.int64()),
+        "fp_min": pa.array(np.where(counts > 0, (mins - shift),
+                                    np.uint64(0)).view(np.int64), pa.int64()),
+        "fp_xor": pa.array(np.where(counts > 0, (xors - shift),
+                                    np.uint64(0)).view(np.int64), pa.int64()),
+    })
+
+
+def fingerprint_summary(sf_dir: str):
+    """Driver-facing fingerprint op: same kernel as :func:`fingerprints`,
+    scalar summary columns so the value-hash oracle (a per-tier golden from
+    the independent scalar evaluator, sources/tier_goldens.py) applies."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _fingerprint_summary_batch, batch_format="pyarrow", batch_size=1024)
+
+
 # -- repetition signals (Gopher-style) --------------------------------------
 
 def repetition_signals(sf_dir: str):

@@ -1,0 +1,338 @@
+"""Per-tier golden tables for the approximate / hash-keyed operators whose
+semantics no SQL engine can express (MinHash+LSH, sign-LSH embedding dedup,
+IVF probe, trigram lang-ID, winnowing fingerprints).
+
+The pattern is the one that made the crawl driver-checkable: an INDEPENDENT
+spec-level evaluator (straightforward scalar/driver-side code, separate from
+the vectorized Ray pipelines) computes the op's expected output for a
+testdata tier and writes it as Parquet under /tmp; the DuckDB oracle twin is
+then a plain ``read_parquet`` of the golden filtered to the current tier.
+
+Tier keying: sf0.001 and sf0.01 both have 500 documents, so row counts
+cannot key the golden. The key is ``sum(n_chars)`` over ``documents`` —
+an integer DuckDB computes exactly (``corpus_key`` below), distinct across
+the shipped tiers (153156 / 149174 / 1485576). Every golden row carries the
+key; the oracle SQL filters ``WHERE corpus_key = (SELECT
+CAST(sum(n_chars) AS BIGINT) FROM documents)``.
+
+Independence caveat, stated plainly: seeded constants (hash bases, LSH
+planes, permutation parameters) are part of each operator's SPEC and are
+shared; everything else — tokenization, grouping, candidate capping,
+verification — is reimplemented here in plain Python/numpy over the whole
+tier at once, so a bug in the distributed bucketing/segmentation shows up
+as a golden mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# bump to invalidate all cached goldens when any evaluator changes
+GOLDEN_VERSION = 1
+
+_ROOT = f"/tmp/edgar_ray_tier_goldens_v{GOLDEN_VERSION}"
+
+_M64 = (1 << 64) - 1
+
+
+def corpus_key(sf_dir: str) -> int:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["n_chars"])
+    return int(np.sum(t["n_chars"].to_numpy(zero_copy_only=False)))
+
+
+CORPUS_KEY_SQL = "(SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)"
+
+
+def golden_glob(op: str) -> str:
+    return os.path.join(_ROOT, op, "*.parquet")
+
+
+def ensure_golden(op: str, sf_dir: str) -> str:
+    """Compute (once per tier) and return the golden parquet path."""
+    key = corpus_key(sf_dir)
+    d = os.path.join(_ROOT, op)
+    path = os.path.join(d, f"{key}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(d, exist_ok=True)
+    tbl = _BUILDERS[op](sf_dir)
+    tbl = tbl.append_column(
+        "corpus_key", pa.array([key] * tbl.num_rows, pa.int64()))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic under concurrent test workers
+    return path
+
+
+def golden_oracle_sql(op: str, cols: str) -> str:
+    return (f"SELECT {cols} FROM read_parquet('{golden_glob(op)}') "
+            f"WHERE corpus_key = {CORPUS_KEY_SQL}")
+
+
+def _docs_table(sf_dir: str, columns) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# text_langid / text_fingerprint: per-doc scalar twins
+# ---------------------------------------------------------------------------
+
+
+def _langid_golden(sf_dir: str) -> pa.Table:
+    from ..pipelines.text import LangId
+
+    t = _docs_table(sf_dir, ["doc_id", "text", "lang"])
+    lid = LangId()
+    preds = [lid.classify(s) for s in t["text"].to_pylist()]
+    return pa.table({"doc_id": t["doc_id"],
+                     "lang_pred": pa.array(preds, pa.string()),
+                     "lang": t["lang"]})
+
+
+def _to_i64(x: int) -> int:
+    """Two's-complement reinterpretation of an unsigned value (mod 2^64)."""
+    x &= _M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _fingerprint_golden(sf_dir: str) -> pa.Table:
+    from ..pipelines.text import Fingerprinter
+
+    t = _docs_table(sf_dir, ["doc_id", "text"])
+    f = Fingerprinter()
+    n_fp, fp_min, fp_xor = [], [], []
+    for s in t["text"].to_pylist():
+        fp = [int(x) for x in f.fingerprint(s)]  # sorted ascending, uint64
+        n_fp.append(len(fp))
+        if fp:
+            x = 0
+            for v in fp:
+                x ^= v
+            # the pipeline emits (value - 2^63) reinterpreted as int64
+            fp_min.append(_to_i64(fp[0] - (1 << 63)))
+            fp_xor.append(_to_i64(x - (1 << 63)))
+        else:
+            fp_min.append(0)
+            fp_xor.append(0)
+    return pa.table({"doc_id": t["doc_id"],
+                     "n_fp": pa.array(n_fp, pa.int64()),
+                     "fp_min": pa.array(fp_min, pa.int64()),
+                     "fp_xor": pa.array(fp_xor, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh: scalar word/shingle hashing + global band grouping
+# ---------------------------------------------------------------------------
+
+_B = 0x100000001B3
+_FMIX1 = 0xFF51AFD7ED558CCD
+_FMIX2 = 0xC4CEB9FE1A85EC53
+_WORD_RE = re.compile(rb"[0-9a-z_\x80-\xff]+")
+
+
+def _fmix64(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _FMIX1) & _M64
+    h ^= h >> 33
+    h = (h * _FMIX2) & _M64
+    h ^= h >> 33
+    return h
+
+
+def _word_hashes_scalar(text: str) -> list[int]:
+    """Spec twin of _word_hash_batch: ASCII-lowercase the UTF-8 bytes, words
+    = maximal [0-9a-z_] or >=0x80 byte runs, hash = fmix64(sum_j b_j*B^j)."""
+    bs = text.encode("utf-8", "ignore")
+    lowered = bytes(b + 32 if 65 <= b <= 90 else b for b in bs)
+    out = []
+    for w in _WORD_RE.findall(lowered):
+        h, p = 0, 1
+        for byte in w:
+            h = (h + byte * p) & _M64
+            p = (p * _B) & _M64
+        out.append(_fmix64(h))
+    return out
+
+
+_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _shingles_scalar(text: str, k: int = 3) -> set[int]:
+    hw = _word_hashes_scalar(text)
+    if not hw:
+        return set()
+    if len(hw) < k:
+        acc = (hw[0] * _C[0]) & _M64
+        for j in range(1, len(hw)):
+            acc ^= (hw[j] * _C[j % 3]) & _M64
+        return {acc}
+    out = set()
+    for i in range(len(hw) - k + 1):
+        sh = (hw[i] * _C[0]) & _M64
+        for j in range(1, k):
+            sh ^= (hw[i + j] * _C[j % 3]) & _M64
+        out.add(sh)
+    return out
+
+
+def _minhash_golden(sf_dir: str, threshold: float = 0.7, num_perm: int = 64,
+                    bands: int = 16, max_segment: int = 512) -> pa.Table:
+    t = _docs_table(sf_dir, ["doc_id", "text"])
+    rng = np.random.default_rng(7)  # the op's spec constants
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    p = np.uint64((1 << 61) - 1)
+    rows = num_perm // bands
+    groups: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        sh = _shingles_scalar(text)
+        if not sh:
+            continue  # empty-shingle docs never band
+        arr = np.fromiter(sh, np.uint64, count=len(sh))
+        sig = ((a[:, None] * arr[None, :] + b[:, None]) % p).min(axis=1)
+        for band in range(bands):
+            bh = 0xCBF29CE484222325
+            for r in range(rows):
+                bh = ((bh * _B) & _M64) ^ int(sig[band * rows + r])
+            bh ^= (band * 0x9E3779B9) & _M64
+            bh &= (1 << 63) - 1
+            groups.setdefault((band, bh), []).append((doc_id, sig))
+    pairs: set[tuple[int, int]] = set()
+    for members in groups.values():
+        members.sort(key=lambda m: m[0])
+        members = members[:max_segment]
+        for i in range(len(members) - 1):
+            for j in range(i + 1, len(members)):
+                est = float(np.mean(members[i][1] == members[j][1]))
+                if est >= threshold:
+                    pairs.add((members[i][0], members[j][0]))
+    out = sorted(pairs)
+    return pa.table({"id_a": pa.array([x for x, _ in out], pa.int64()),
+                     "id_b": pa.array([y for _, y in out], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_lsh: global sign-LSH grouping + float32 cosine verify
+# ---------------------------------------------------------------------------
+
+
+def _emb_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    return ids, mat
+
+
+def _emb_lsh_golden(sf_dir: str, threshold: float = 0.4, nbits: int = 8,
+                    ntables: int = 8, max_segment: int = 512) -> pa.Table:
+    ids, mat = _emb_matrix(sf_dir)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dim = mat.shape[1]
+    planes = np.random.default_rng(11).standard_normal((ntables, nbits, dim))
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    f32 = mat.astype(np.float32)  # the pipeline verifies in float32
+    pairs: set[tuple[int, int]] = set()
+    for l in range(ntables):
+        buckets = ((mat @ planes[l].T) > 0).astype(np.int64) @ weights
+        for bval in np.unique(buckets):
+            sel = np.nonzero(buckets == bval)[0]
+            if len(sel) < 2:
+                continue
+            sel = sel[np.argsort(ids[sel], kind="stable")][:max_segment]
+            cos = f32[sel] @ f32[sel].T
+            ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+            for x, y in zip(ids[sel][ii], ids[sel][jj]):
+                if x != y:
+                    pairs.add((int(min(x, y)), int(max(x, y))))
+    out = sorted(pairs)
+    return pa.table({"id_a": pa.array([x for x, _ in out], pa.int64()),
+                     "id_b": pa.array([y for _, y in out], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# similarity_ann_ivf_partitioned: whole-corpus numpy IVF probe
+# ---------------------------------------------------------------------------
+
+
+def _ivf_golden(sf_dir: str, query_id: int = 0, k: int = 10,
+                nlist: int = 32, nprobe: int = 8) -> pa.Table:
+    ids, mat = _emb_matrix(sf_dir)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-12)
+    cent_sel = ids < nlist
+    cents = norm[cent_sel][np.argsort(ids[cent_sel])]
+    q = norm[ids == query_id][0]
+    probes = set(np.argsort(-(cents @ q))[:nprobe].tolist())
+    assign = np.argmax(norm @ cents.T, axis=1)
+    cand = np.isin(assign, list(probes))
+    cos = norm[cand] @ q
+    cids = ids[cand]
+    order = np.lexsort((cids, -cos))[:k]
+    return pa.table({"vec_id": pa.array(cids[order], pa.int64())})
+
+
+def _ann_recall_golden(sf_dir: str, query_ids=(0, 1, 2, 3), k: int = 10,
+                       lsh_nbits: int = 6, lsh_ntables: int = 16,
+                       ivf_nlist: int = 32, ivf_nprobe: int = 8) -> pa.Table:
+    """Whole-corpus numpy twin of similarity.ann_recall: exact / LSH-probed
+    / IVF-probed top-k per query, recall of each approximate set."""
+    ids, raw = _emb_matrix(sf_dir)
+    norm = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True),
+                            1e-12)
+    dim = raw.shape[1]
+    planes = np.random.default_rng(11).standard_normal(
+        (lsh_ntables, lsh_nbits, dim))
+    w = (1 << np.arange(lsh_nbits)).astype(np.int64)
+    vec_buckets = np.stack(
+        [((raw @ planes[l].T) > 0).astype(np.int64) @ w
+         for l in range(lsh_ntables)], axis=1)  # (n, L); sign == normalized
+    cent_sel = ids < ivf_nlist
+    cents = norm[cent_sel][np.argsort(ids[cent_sel])]
+    assign = np.argmax(norm @ cents.T, axis=1)
+    rows = []
+    for qid in query_ids:
+        q = norm[ids == qid][0]
+        cos = norm @ q
+
+        def topk(mask):
+            sel = np.nonzero(mask)[0]
+            order = np.lexsort((ids[sel], -cos[sel]))[:k]
+            return set(ids[sel][order].tolist())
+
+        exact = topk(np.ones(len(ids), bool))
+        qb = np.array([((q @ planes[l].T) > 0).astype(np.int64) @ w
+                       for l in range(lsh_ntables)])
+        lsh_mask = (vec_buckets == qb[None, :]).any(axis=1)
+        probes = np.argsort(-(cents @ q))[:ivf_nprobe]
+        ivf_mask = np.isin(assign, probes)
+        for method, mask in (("lsh", lsh_mask), ("ivf", ivf_mask)):
+            hits = len(topk(mask) & exact)
+            rows.append((int(qid), method, hits, hits / k))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "method": pa.array([r[1] for r in rows], pa.string()),
+        "n_hits": pa.array([r[2] for r in rows], pa.int64()),
+        "recall": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+_BUILDERS = {
+    "text_langid": _langid_golden,
+    "text_fingerprint": _fingerprint_golden,
+    "dedup_minhash_lsh": _minhash_golden,
+    "dedup_embedding_lsh": _emb_lsh_golden,
+    "similarity_ann_ivf_partitioned": _ivf_golden,
+    "similarity_ann_recall": _ann_recall_golden,
+}
+
+GOLDEN_OPS = tuple(_BUILDERS)
