@@ -281,7 +281,7 @@ def _settle():
     time.sleep(5)
 
 
-def run_scaling_bw() -> dict:
+def run_scaling_bw(legs: int = 4, cpus: int = 8) -> dict:
     """Bandwidth-controlled N->4N scaling evidence (protocol v4).
 
     The pinned single-8-CPU leg of --scaling borrows the idle 24 cores'
@@ -299,20 +299,20 @@ def run_scaling_bw() -> dict:
     for every measurement this sandbox can make."""
     _bench_corpus()  # build once before the concurrent legs race to read it
     procs = []
-    for i in range(4):
-        env = dict(os.environ, RAY_GRAFT_CPUS="8",
+    for i in range(legs):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                    GRAFT_BENCH_MODE="crawl",
                    GRAFT_BENCH_CORPUS=SCALING_CORPUS)
-        cmd = ["taskset", "-c", f"{8 * i}-{8 * i + 7}", sys.executable,
-               os.path.abspath(__file__)]
+        cmd = ["taskset", "-c", f"{cpus * i}-{cpus * i + cpus - 1}",
+               sys.executable, os.path.abspath(__file__)]
         procs.append(subprocess.Popen(
             cmd, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__))))
-    legs = []
+    legs_out = []
     for p in procs:
         out, _ = p.communicate()
-        legs.append(json.loads(out.strip().splitlines()[-1]))
+        legs_out.append(json.loads(out.strip().splitlines()[-1]))
     _settle()
     env = dict(os.environ, RAY_GRAFT_CPUS="32", GRAFT_BENCH_MODE="crawl",
                GRAFT_BENCH_CORPUS=SCALING_CORPUS)
@@ -321,25 +321,36 @@ def run_scaling_bw() -> dict:
         env=env, capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__))).stdout
     big = json.loads(out.strip().splitlines()[-1])
-    thr8 = [d["crawl"]["pages_parsed_per_sec"] for d in legs]
-    st8 = [d["crawl"].get("steady_pages_per_sec") or 0.0 for d in legs]
+    thr_small = [d["crawl"]["pages_parsed_per_sec"] for d in legs_out]
+    st_small = [d["crawl"].get("steady_pages_per_sec") or 0.0
+                for d in legs_out]
     thr32 = big["crawl"]["pages_parsed_per_sec"]
     st32 = big["crawl"].get("steady_pages_per_sec") or 0.0
+    # normalized to the N->4N shape: aggregate small-leg throughput uses the
+    # whole socket (legs*cpus == 32 cores), so the fair-bandwidth 8-cpu
+    # throughput is sum/ (legs*cpus/8) and eff = thr32 / (4 * that)
+    scale = (legs * cpus) / 8.0
+
+    def eff(big_thr, small):
+        return round(big_thr * scale / (4.0 * sum(small)), 3) \
+            if all(small) else 0.0
+
     return {
         "metric": "scaling_efficiency_bw_controlled",
-        "value": round(thr32 / sum(thr8), 3),
+        "value": eff(thr32, thr_small),
         "unit": "ratio",
-        "protocol": "4 concurrent pinned 8-cpu legs vs 1 pinned 32-cpu leg",
-        "steady_scaling_efficiency": round(st32 / sum(st8), 3) if all(st8)
-        else 0.0,
-        "crawl_pages_per_sec_8_each": thr8,
-        "steady_pages_per_sec_8_each": st8,
+        "protocol": f"{legs} concurrent pinned {cpus}-cpu legs vs 1 pinned "
+                    "32-cpu leg",
+        "legs": legs, "cpus_per_leg": cpus,
+        "steady_scaling_efficiency": eff(st32, st_small),
+        "crawl_pages_per_sec_small_each": thr_small,
+        "steady_pages_per_sec_small_each": st_small,
         "crawl_pages_per_sec_32": thr32,
         "steady_pages_per_sec_32": st32,
-        "headline_sec_8_each": [d["value"] for d in legs],
+        "headline_sec_small_each": [d["value"] for d in legs_out],
         "headline_sec_32": big["value"],
-        "wave2_8_each": [d["crawl"].get("wave_timings", {}).get("2", {})
-                         for d in legs],
+        "wave2_small_each": [d["crawl"].get("wave_timings", {}).get("2", {})
+                             for d in legs_out],
         "wave2_32": big["crawl"].get("wave_timings", {}).get("2", {}),
         "sf": SF_DIR,
     }
@@ -348,7 +359,9 @@ def run_scaling_bw() -> dict:
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling-bw" in sys.argv:
-        print(json.dumps(run_scaling_bw()))
+        shape = os.environ.get("GRAFT_BW_LEGS", "4x8")
+        n_legs, leg_cpus = (int(x) for x in shape.split("x"))
+        print(json.dumps(run_scaling_bw(legs=n_legs, cpus=leg_cpus)))
     elif "--scaling" in sys.argv:
         rep = 1
         if "--repeat" in sys.argv:

@@ -316,6 +316,7 @@ def crawl(
     collect_order: bool = True,
     live_transport=None,
     live_clock=None,
+    live_strict_per_host: bool = False,
     merge_partitions: int | None = 32,
     merge_num_buckets: int = 64,
     stop_after_wave: int | None = None,
@@ -559,6 +560,7 @@ def crawl(
                 live_src = rd.from_arrow(admitted)
             fetched = fetch_live(
                 live_src, live_transport, clock=live_clock,
+                strict_per_host=live_strict_per_host,
             ).map_batches(
                 lambda t: t.filter(pc.equal(t["fetch_status"],
                                             pa.scalar("ok")))

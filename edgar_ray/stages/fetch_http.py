@@ -33,12 +33,64 @@ count independently of cluster size.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
 
 FETCH_META_COLS = ["ticker", "cik", "filing_type", "filed_date", "accession",
                    "doc_type", "report_num", "seed_rank"]
+
+
+class UrllibTransport:
+    """Production default transport: stdlib ``urllib.request`` GET.
+
+    Matches the reference's out-of-the-box behavior
+    (/root/reference/page.go:21-28) minus its ``log.Fatal``: HTTP 404/410
+    raise ``KeyError`` (permanent — the fetcher emits an error row without
+    retrying the budget away is NOT done here; the fetcher's retry loop
+    treats every exception alike, and a 404 exhausts retries quickly at
+    ``backoff_s`` scale); any other failure raises and is retried upstream.
+
+    ``rewrite=(prefix, replacement)`` maps canonical urls onto a mirror /
+    proxy / test server (e.g. ``("https://www.sec.gov",
+    "http://127.0.0.1:8081")``) without touching frontier semantics — the
+    frontier keys politeness and dedup on the CANONICAL url either way."""
+
+    def __init__(self, timeout: float = 30.0,
+                 user_agent: str = "edgar-ray/0 (research; contact admin)",
+                 rewrite: tuple[str, str] | None = None):
+        self.timeout = timeout
+        self.user_agent = user_agent
+        self.rewrite = rewrite
+
+    def __call__(self, url: str) -> bytes:
+        import urllib.error
+        import urllib.request
+
+        target = url
+        if self.rewrite and target.startswith(self.rewrite[0]):
+            target = self.rewrite[1] + target[len(self.rewrite[0]):]
+        req = urllib.request.Request(
+            target, headers={"User-Agent": self.user_agent})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 410):
+                raise KeyError(url) from e  # permanent: no such page
+            raise
+
+
+def default_transport():
+    """Flag-gated production default: ``EDGAR_RAY_LIVE_HTTP=1`` enables the
+    stdlib urllib transport so the crawler works against a live host out of
+    the box (reference parity). The flag exists because THIS sandbox has no
+    outbound network — an unconditional default would turn every
+    misconfigured test into a 30s-timeout loop."""
+    if os.environ.get("EDGAR_RAY_LIVE_HTTP") == "1":
+        return UrllibTransport()
+    return None
 
 
 class SystemClock:
@@ -94,9 +146,12 @@ class HttpFetcher:
                  clock_t0_epoch: float | None = None,
                  host_min_gap: float | None = None):
         if transport is None:
+            transport = default_transport()
+        if transport is None:
             raise NotImplementedError(
                 "no network in this environment: inject transport(url)->bytes "
-                "(e.g. requests.get(...).content on a production image)")
+                "or set EDGAR_RAY_LIVE_HTTP=1 for the stdlib urllib default "
+                "(UrllibTransport) on a networked deployment")
         self.transport = transport
         # clock_t0_epoch: the pool-shared wall-clock anchor (see SystemClock)
         self.clock = clock or SystemClock(t0_epoch=clock_t0_epoch)
@@ -154,10 +209,25 @@ class HttpFetcher:
         return pa.table(out)
 
 
+def strict_host_fetch_group(t: pa.Table, fetcher: HttpFetcher) -> pa.Table:
+    """One group = all of one host's admitted rows: re-sort by the frontier's
+    ``scheduled_at`` slots (the groupby shuffle scrambles row order) and
+    fetch SERIALLY through one fetcher — the strict per-host politeness
+    serialization the module docstring's guarantee boundary points at."""
+    import pyarrow.compute as pc
+
+    if "scheduled_at" in t.column_names:
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("scheduled_at", "ascending"),
+                          ("url", "ascending")]))
+    return fetcher(t)
+
+
 def fetch_live(admitted_ds, transport, *, clock=None, max_retries: int = 3,
                backoff_s: float = 0.5, enforce_politeness: bool = True,
                concurrency=(1, 8), batch_size: int = 64,
-               host_min_gap: float | None = None):
+               host_min_gap: float | None = None,
+               strict_per_host: bool = False):
     """Admitted frontier Dataset -> fetched page Dataset over live HTTP.
 
     Failed rows survive with ``fetch_status='error'`` (filter downstream);
@@ -170,16 +240,42 @@ def fetch_live(admitted_ds, transport, *, clock=None, max_retries: int = 3,
     (tests) is copied per actor by Ray's constructor-arg serialization;
     callers that need cross-actor determinism with a fake clock should run
     ``concurrency=1``. ``host_min_gap`` (seconds) adds a per-host
-    inter-fetch floor within each actor, covering retry-delayed rows."""
+    inter-fetch floor within each actor, covering retry-delayed rows.
+
+    ``strict_per_host=True`` switches to ``groupby("host").map_groups``:
+    ONE task owns each host's rows end to end (sorted by ``scheduled_at``),
+    so inter-fetch spacing against a live host is strictly serialized —
+    no cross-actor interleave is possible by construction. Parallelism
+    then equals the number of distinct hosts, which is exactly the
+    politeness-bounded ceiling anyway."""
+    kwargs = {
+        "transport": transport, "clock": clock,
+        "max_retries": max_retries, "backoff_s": backoff_s,
+        "enforce_politeness": enforce_politeness,
+        "clock_t0_epoch": time.time() if clock is None else None,
+        "host_min_gap": host_min_gap,
+    }
+    if strict_per_host:
+        from .cache import cached_instance as _cached
+
+        if "host" not in admitted_ds.schema().names:
+            def add_host(t: pa.Table) -> pa.Table:
+                hosts = [u.split("/", 3)[2] if "://" in u else u
+                         for u in t["url"].to_pylist()]
+                return t.append_column("host", pa.array(hosts, pa.string()))
+
+            admitted_ds = admitted_ds.map_batches(
+                add_host, batch_format="pyarrow")
+
+        def fetch_group(t: pa.Table) -> pa.Table:
+            return strict_host_fetch_group(
+                t, _cached(HttpFetcher, **kwargs))
+
+        return admitted_ds.groupby("host").map_groups(
+            fetch_group, batch_format="pyarrow")
     return admitted_ds.map_batches(
         HttpFetcher,
-        fn_constructor_kwargs={
-            "transport": transport, "clock": clock,
-            "max_retries": max_retries, "backoff_s": backoff_s,
-            "enforce_politeness": enforce_politeness,
-            "clock_t0_epoch": time.time() if clock is None else None,
-            "host_min_gap": host_min_gap,
-        },
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=batch_size,
         # IO-bound: fractional CPU so the fetch pool can never starve the
         # downstream parse tasks even when the autoscaler maxes it out
