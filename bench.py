@@ -128,6 +128,13 @@ def run_bench() -> dict:
         crawl_stats["joinfetch_sec"] = round(time.monotonic() - t0, 3)
         assert res_j.metrics["frontier_urls"] == res.metrics["frontier_urls"]
 
+    # per-tier oracle goldens are verification infrastructure, not pipeline
+    # work: build them outside the timed windows (idempotent disk cache)
+    from edgar_ray.sources.tier_goldens import GOLDEN_OPS, ensure_golden
+
+    for op in GOLDEN_OPS:
+        ensure_golden(op, SF_DIR)
+
     qs = entrymod.queries() | entrymod.extra_queries()
     bench_queries = () if BENCH_MODE == "crawl" else (
         "q1_pricing_summary", "q_hash_join", "q_topk_per_group",
