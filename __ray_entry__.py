@@ -7,9 +7,12 @@ a smoke read of /root/testdata/sf0.001.
 
 ``queries()`` covers the operator inventory of SURVEY.md §2 mapped onto the
 driver's testdata tables, plus the training-data ops (dedup / similarity /
-text / multimodal). ``oracle_sql()`` gives the DuckDB twin for every
-SQL-expressible entry; float aggregates are rounded identically on both sides
-(FP-summation noise would otherwise break the value-hash compare).
+text / multimodal). ``oracle_sql()`` gives an oracle for EVERY driver-facing
+entry: a DuckDB twin for SQL-expressible ops (float aggregates rounded
+identically on both sides — FP-summation noise would otherwise break the
+value-hash compare), and for hash/LSH/approximate ops a per-tier golden
+table computed by the independent spec-level evaluators in
+``edgar_ray/sources/tier_goldens.py``.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init`` / ``ray.shutdown``.
@@ -155,12 +158,13 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
             for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
                 if classify_url(url) != "index":
                     continue
-                for ftype in ("10-K", "10-Q"):
-                    docs = filing_page_parser(html, ftype)
-                    if docs:
-                        out_acc.append(url)
-                        out_missing.append(get_missing_docs(docs))
-                        break
+                # doc mapping is filing-type-independent (the reference's
+                # mapReports walks the accordion the same way for 10-K and
+                # 10-Q) — one parse per page
+                docs = filing_page_parser(html)
+                if docs:
+                    out_acc.append(url)
+                    out_missing.append(get_missing_docs(docs))
             return pa.table({"url": pa.array(out_acc, pa.string()),
                              "missing_docs": pa.array(out_missing, pa.string())})
 

@@ -128,12 +128,14 @@ def run_bench() -> dict:
         crawl_stats["joinfetch_sec"] = round(time.monotonic() - t0, 3)
         assert res_j.metrics["frontier_urls"] == res.metrics["frontier_urls"]
 
-    # per-tier oracle goldens are verification infrastructure, not pipeline
-    # work: build them outside the timed windows (idempotent disk cache)
-    from edgar_ray.sources.tier_goldens import GOLDEN_OPS, ensure_golden
+    if BENCH_MODE != "crawl":
+        # per-tier oracle goldens are verification infrastructure, not
+        # pipeline work: build them outside the timed windows (idempotent
+        # disk cache); crawl-only scaling legs never touch them
+        from edgar_ray.sources.tier_goldens import GOLDEN_OPS, ensure_golden
 
-    for op in GOLDEN_OPS:
-        ensure_golden(op, SF_DIR)
+        for op in GOLDEN_OPS:
+            ensure_golden(op, SF_DIR)
 
     qs = entrymod.queries() | entrymod.extra_queries()
     bench_queries = () if BENCH_MODE == "crawl" else (
@@ -305,6 +307,17 @@ def run_scaling_bw(legs: int = 4, cpus: int = 8) -> dict:
     shuffle traffic), so network effects are out of scope — as they are
     for every measurement this sandbox can make."""
     _bench_corpus()  # build once before the concurrent legs race to read it
+    # big leg FIRST: running it after the K concurrent legs measures it
+    # against K overlapping raylet/plasma teardowns (measured +60% on the
+    # 32-leg even past the settle barrier)
+    env = dict(os.environ, RAY_GRAFT_CPUS="32", GRAFT_BENCH_MODE="crawl",
+               GRAFT_BENCH_CORPUS=SCALING_CORPUS)
+    out = subprocess.run(
+        ["taskset", "-c", "0-31", sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+    big = json.loads(out.strip().splitlines()[-1])
+    _settle()
     procs = []
     for i in range(legs):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
@@ -320,14 +333,6 @@ def run_scaling_bw(legs: int = 4, cpus: int = 8) -> dict:
     for p in procs:
         out, _ = p.communicate()
         legs_out.append(json.loads(out.strip().splitlines()[-1]))
-    _settle()
-    env = dict(os.environ, RAY_GRAFT_CPUS="32", GRAFT_BENCH_MODE="crawl",
-               GRAFT_BENCH_CORPUS=SCALING_CORPUS)
-    out = subprocess.run(
-        ["taskset", "-c", "0-31", sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, check=True,
-        cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-    big = json.loads(out.strip().splitlines()[-1])
     thr_small = [d["crawl"]["pages_parsed_per_sec"] for d in legs_out]
     st_small = [d["crawl"].get("steady_pages_per_sec") or 0.0
                 for d in legs_out]

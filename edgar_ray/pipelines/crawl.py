@@ -317,7 +317,7 @@ def crawl(
     live_transport=None,
     live_clock=None,
     live_strict_per_host: bool = False,
-    merge_partitions: int | None = 32,
+    merge_partitions: int | str | None = "auto",
     merge_num_buckets: int = 64,
     stop_after_wave: int | None = None,
     respect_robots: bool = True,
@@ -329,6 +329,15 @@ def crawl(
     import time
 
     t_setup = time.monotonic()
+
+    if merge_partitions == "auto":
+        # pre-merge coalesce width: ~2 blocks per core feeds the merge
+        # shuffle without fragmenting it (same-window A/B at 1.77M pages:
+        # 16 partitions beat 32 at 8 CPUs — merge_s 3.4 vs 4.4-5.7 s —
+        # while 32 stays right at 32 CPUs; no coalesce at all costs 4-5x,
+        # measured 17-22 s). Explicit ints and None (disable) are respected.
+        merge_partitions = min(32, max(8, 2 * int(
+            ray.cluster_resources().get("CPU", 16))))
 
     if pages_ds_factory is None and pages_path is not None:
         cols = ["url", "html"]
