@@ -254,12 +254,15 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "dedup_chunk": dedup.dedup_chunk,
         "dedup_minhash_lsh": _with_tier_golden(
             "dedup_minhash_lsh", dedup.dedup_minhash_lsh),
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_simhash": _with_tier_golden(
+            "dedup_simhash", dedup.dedup_simhash),
+        "dedup_ngram_jaccard": _with_tier_golden(
+            "dedup_ngram_jaccard", dedup.dedup_ngram_jaccard),
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_embedding_lsh": _with_tier_golden(
             "dedup_embedding_lsh", dedup.dedup_embedding_lsh),
-        "dedup_clusters": dedup.dedup_connected_components,
+        "dedup_clusters": _with_tier_golden(
+            "dedup_clusters", dedup.dedup_connected_components),
         # same CC operator over the SQL-expressible capped embedding edge
         # set -> oracle-verified via a DuckDB recursive-CTE closure
         "dedup_clusters_embedding": lambda sf: dedup.dedup_connected_components(
@@ -267,8 +270,10 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "similarity_knn_brute": similarity.knn_brute,
         "similarity_knn_batch": similarity.knn_batch,
-        "similarity_ann_lsh": similarity.ann_lsh,
-        "similarity_ann_ivf": similarity.ann_ivf,
+        "similarity_ann_lsh": _with_tier_golden(
+            "similarity_ann_lsh", similarity.ann_lsh),
+        "similarity_ann_ivf": _with_tier_golden(
+            "similarity_ann_ivf", similarity.ann_ivf),
         "similarity_ann_recall": _with_tier_golden(
             "similarity_ann_recall", similarity.ann_recall),
         "similarity_range_search": similarity.range_search,
@@ -439,6 +444,11 @@ def _crawl_oracle_sql() -> dict[str, str]:
             SELECT ticker, filing_type, filed_date, accession,
                    {getters}
             FROM read_parquet('{d}/filings_golden.parquet')
+        """,
+        "filings_available": f"""
+            SELECT ticker, filing_type, filed_date
+            FROM read_parquet('{d}/filings_golden.parquet')
+            WHERE ticker = 'SYN0000' AND filing_type = '10-K'
         """,
     }
 
@@ -939,6 +949,17 @@ def _oracle_sql_all() -> dict[str, str]:
             "similarity_ann_ivf_partitioned", "vec_id"),
         "similarity_ann_recall": _tg.golden_oracle_sql(
             "similarity_ann_recall", "query_id, method, n_hits, recall"),
+        # extras: same golden machinery, verified by the local harness
+        "dedup_simhash": _tg.golden_oracle_sql(
+            "dedup_simhash", "id_a, id_b"),
+        "dedup_ngram_jaccard": _tg.golden_oracle_sql(
+            "dedup_ngram_jaccard", "id_a, id_b"),
+        "dedup_clusters": _tg.golden_oracle_sql(
+            "dedup_clusters", "node, label"),
+        "similarity_ann_lsh": _tg.golden_oracle_sql(
+            "similarity_ann_lsh", "vec_id"),
+        "similarity_ann_ivf": _tg.golden_oracle_sql(
+            "similarity_ann_ivf", "vec_id"),
         "text_langid": _tg.golden_oracle_sql(
             "text_langid", "doc_id, lang_pred, lang"),
         "text_fingerprint": _tg.golden_oracle_sql(

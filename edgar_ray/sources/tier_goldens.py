@@ -326,6 +326,132 @@ def _ann_recall_golden(sf_dir: str, query_ids=(0, 1, 2, 3), k: int = 10,
     })
 
 
+# ---------------------------------------------------------------------------
+# dedup_simhash / dedup_ngram_jaccard: scalar feature twins, global grouping
+# ---------------------------------------------------------------------------
+
+
+def _simhash_scalar(text: str) -> int | None:
+    """Position-wise word-hash bit majority (None for word-less docs)."""
+    hw = _word_hashes_scalar(text)
+    if not hw:
+        return None
+    n = len(hw)
+    sim = 0
+    for p in range(64):
+        cnt = sum((h >> p) & 1 for h in hw)
+        if 2 * cnt > n:
+            sim |= 1 << p
+    return sim
+
+
+def _simhash_golden(sf_dir: str, hamming_max: int = 3,
+                    max_segment: int = 512) -> pa.Table:
+    t = _docs_table(sf_dir, ["doc_id", "text"])
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        sim = _simhash_scalar(text)
+        if sim is None:
+            continue
+        for c in range(4):
+            groups.setdefault((c, (sim >> (16 * c)) & 0xFFFF),
+                              []).append((doc_id, sim))
+    pairs: set[tuple[int, int]] = set()
+    for members in groups.values():
+        members.sort(key=lambda m: m[0])
+        members = members[:max_segment]
+        for i in range(len(members) - 1):
+            for j in range(i + 1, len(members)):
+                if bin(members[i][1] ^ members[j][1]).count("1") \
+                        <= hamming_max:
+                    pairs.add((members[i][0], members[j][0]))
+    out = sorted(pairs)
+    return pa.table({"id_a": pa.array([x for x, _ in out], pa.int64()),
+                     "id_b": pa.array([y for _, y in out], pa.int64())})
+
+
+def _ngram_jaccard_golden(sf_dir: str, threshold: float = 0.8, k: int = 3,
+                          max_segment: int = 512) -> pa.Table:
+    t = _docs_table(sf_dir, ["doc_id", "text"])
+    groups: dict[int, list[tuple[int, set[int]]]] = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        sh = _shingles_scalar(text, k)
+        if not sh:
+            continue
+        groups.setdefault(min(sh), []).append((doc_id, sh))
+    pairs: set[tuple[int, int]] = set()
+    for members in groups.values():
+        members.sort(key=lambda m: m[0])
+        members = members[:max_segment]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i][1], members[j][1]
+                union = len(a | b)
+                if union and len(a & b) / union >= threshold:
+                    pairs.add((members[i][0], members[j][0]))
+    out = sorted(pairs)
+    return pa.table({"id_a": pa.array([x for x, _ in out], pa.int64()),
+                     "id_b": pa.array([y for _, y in out], pa.int64())})
+
+
+def _clusters_golden(sf_dir: str) -> pa.Table:
+    """Union-find closure over the minhash golden pairs: (node, label=min
+    component member) — the spec twin of the iterative min-label CC."""
+    p = _minhash_golden(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(p["id_a"].to_pylist(), p["id_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "label": pa.array([find(n) for n in nodes], pa.int64())})
+
+
+def _ann_probe_golden(sf_dir: str, method: str, query_id: int = 0,
+                      k: int = 10) -> pa.Table:
+    """Top-k of one approximate probe (the per-method slice of
+    _ann_recall_golden's machinery)."""
+    ids, raw = _emb_matrix(sf_dir)
+    norm = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True),
+                            1e-12)
+    dim = raw.shape[1]
+    q = norm[ids == query_id][0]
+    cos = norm @ q
+    if method == "lsh":
+        planes = np.random.default_rng(11).standard_normal((16, 6, dim))
+        w = (1 << np.arange(6)).astype(np.int64)
+        vec_buckets = np.stack(
+            [((raw @ planes[l].T) > 0).astype(np.int64) @ w
+             for l in range(16)], axis=1)
+        qb = np.array([((q @ planes[l].T) > 0).astype(np.int64) @ w
+                       for l in range(16)])
+        mask = (vec_buckets == qb[None, :]).any(axis=1)
+    else:  # ivf
+        cent_sel = ids < 32
+        cents = norm[cent_sel][np.argsort(ids[cent_sel])]
+        probes = np.argsort(-(cents @ q))[:8]
+        mask = np.isin(np.argmax(norm @ cents.T, axis=1), probes)
+    sel = np.nonzero(mask)[0]
+    order = np.lexsort((ids[sel], -cos[sel]))[:k]
+    return pa.table({"vec_id": pa.array(ids[sel][order], pa.int64())})
+
+
+def _ann_lsh_golden(sf_dir: str) -> pa.Table:
+    return _ann_probe_golden(sf_dir, "lsh")
+
+
+def _ann_ivf_golden(sf_dir: str) -> pa.Table:
+    return _ann_probe_golden(sf_dir, "ivf")
+
+
 _BUILDERS = {
     "text_langid": _langid_golden,
     "text_fingerprint": _fingerprint_golden,
@@ -333,6 +459,12 @@ _BUILDERS = {
     "dedup_embedding_lsh": _emb_lsh_golden,
     "similarity_ann_ivf_partitioned": _ivf_golden,
     "similarity_ann_recall": _ann_recall_golden,
+    # extras (locally-oracled rows-only siblings, same golden machinery)
+    "dedup_simhash": _simhash_golden,
+    "dedup_ngram_jaccard": _ngram_jaccard_golden,
+    "dedup_clusters": _clusters_golden,
+    "similarity_ann_lsh": _ann_lsh_golden,
+    "similarity_ann_ivf": _ann_ivf_golden,
 }
 
 GOLDEN_OPS = tuple(_BUILDERS)
