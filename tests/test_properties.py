@@ -408,3 +408,41 @@ def test_inwave_winners_subset_tiebreak_equals_full_sort(data):
     assert dups == n - len(want)
     assert np.array_equal(np.sort(got), np.sort(want))
     assert np.array_equal(got, want)  # same comparator order too
+
+
+# -- round-4 byte-kernel parity under hypothesis ------------------------------
+
+_KTEXT = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+            max_size=80),
+    min_size=1, max_size=24)
+
+
+@given(_KTEXT)
+@settings(max_examples=60, deadline=None)
+def test_token_count_kernel_matches_split(texts):
+    """The whitespace byte kernel equals len(s.split()) whenever the text
+    has no non-ASCII Unicode whitespace (the documented boundary)."""
+    import pyarrow as pa
+
+    from edgar_ray.pipelines.text import _token_count_batch, token_count_rows
+
+    texts = ["".join(c for c in s
+                     if not (c.isspace() and ord(c) > 127)) for s in texts]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    assert _token_count_batch(t)["n_tokens"].to_pylist() \
+        == token_count_rows(texts)
+
+
+@given(_KTEXT)
+@settings(max_examples=60, deadline=None)
+def test_fingerprint_batch_matches_scalar(texts):
+    import pyarrow as pa
+
+    from edgar_ray.pipelines.text import Fingerprinter
+
+    f = Fingerprinter()
+    batch = f.fingerprint_batch(pa.array(texts, pa.string()))
+    for i, s in enumerate(texts):
+        assert [int(x) for x in batch[i]] == [int(x) for x in f.fingerprint(s)]
