@@ -251,6 +251,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "q_session_windows": windows.q_session_windows,
         # dedup suite
         "dedup_exact": dedup.dedup_exact,
+        "dedup_incremental": dedup.dedup_incremental,
         "dedup_chunk": dedup.dedup_chunk,
         "dedup_minhash_lsh": _with_tier_golden(
             "dedup_minhash_lsh", dedup.dedup_minhash_lsh),
@@ -680,6 +681,14 @@ def _oracle_sql_all() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "dedup_incremental": """
+            WITH b AS (SELECT md5(text) AS h, min(doc_id) AS dup_of
+                       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+                 i AS (SELECT doc_id, md5(text) AS h
+                       FROM documents WHERE doc_id % 2 = 1)
+            SELECT i.doc_id, COALESCE(b.dup_of, -1) AS dup_of
+            FROM i LEFT JOIN b USING (h)
         """,
         "dedup_chunk": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

@@ -210,6 +210,49 @@ def dedup_chunk(sf_dir: str, chunk_words: int = 16):
     )
 
 
+def dedup_incremental(sf_dir: str):
+    """Incremental (delta) exact dedup — the production crawl shape: an
+    INCOMING batch of documents is checked against an existing BASE corpus
+    and each incoming doc reports the base doc it duplicates (or -1).
+    Testdata stand-in: base = even doc_ids, incoming = odd doc_ids; in
+    production the base side is the stored hash index (one slim
+    (md5, min_doc) parquet per partition), read — not recomputed — so the
+    cost per delta is O(delta + matching index buckets).
+
+    Shape at 10^10 rows: both sides hash in the map stage and meet in ONE
+    bucketed shuffle on the md5 key (uniform, unskewed); no broadcast of
+    either side, no driver work. Output is one row per incoming doc
+    (never empty), so the oracle compare always has schema-bearing rows."""
+    ds = _docs(sf_dir)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "h": pa.array(hs, pa.string())})
+
+    def bucket_join(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dup_of": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.asarray(t["h"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(h, return_inverse=True)
+        is_base = ids % 2 == 0
+        sent = np.iinfo(np.int64).max
+        base_min = np.full(len(uniq), sent, dtype=np.int64)
+        np.minimum.at(base_min, inv[is_base], ids[is_base])
+        inc = ~is_base
+        dup = base_min[inv[inc]]
+        return pa.table({
+            "doc_id": pa.array(ids[inc], pa.int64()),
+            "dup_of": pa.array(np.where(dup == sent, -1, dup), pa.int64()),
+        })
+
+    return grouped_apply(ds.map_batches(add_hash, batch_format="pyarrow"),
+                         ["h"], bucket_join, NUM_BUCKETS)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

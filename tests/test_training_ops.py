@@ -678,3 +678,26 @@ def test_minhash_nonascii_planted_pair(tmp_path, ray_session):
     mh = MinHasher()
     s = mh.signatures(pa.array([base, base, base + " хвост"], pa.string()))
     assert (s[0] == s[1]).all() and not (s[0] == s[2]).all()
+
+
+def test_dedup_incremental_planted(tmp_path, ray_session):
+    """Incoming docs that duplicate a base doc report the min base doc_id;
+    unseen incoming docs report -1; base docs never appear in the output."""
+    from edgar_ray.pipelines.dedup import dedup_incremental
+
+    texts = {
+        0: "shared corpus boilerplate text",     # base
+        2: "shared corpus boilerplate text",     # base dup of 0 (min wins)
+        4: "unique base document",               # base
+        1: "shared corpus boilerplate text",     # incoming dup -> 0
+        3: "fresh incoming document",            # incoming, unseen -> -1
+        5: "unique base document",               # incoming dup -> 4
+    }
+    tbl = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                    "text": pa.array([texts[k] for k in sorted(texts)],
+                                     pa.string())})
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    out = dedup_incremental(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 3, 5]
+    assert out["dup_of"].tolist() == [0, -1, 4]
