@@ -37,6 +37,14 @@ def main() -> None:
                     help="total cuckoo seen-set capacity (shards split it)")
     ap.add_argument("--host-budget", type=float, default=10.0,
                     help="politeness budget, requests/sec/host")
+    ap.add_argument("--live-http", action="store_true",
+                    help="fetch over the stdlib urllib transport instead of "
+                         "the pages parquet (implies EDGAR_RAY_LIVE_HTTP=1)")
+    ap.add_argument("--live-rewrite", default=None,
+                    help="url prefix rewrite 'FROM=TO' for mirrors/proxies")
+    ap.add_argument("--strict-per-host", action="store_true",
+                    help="serialize fetches per host (one task owns each "
+                         "host's rows in scheduled_at order)")
     args = ap.parse_args()
 
     import pyarrow.parquet as pq
@@ -53,12 +61,21 @@ def main() -> None:
     from edgar_ray.pipelines.crawl import crawl
 
     seeds = pq.read_table(args.seeds)
+    live_transport = None
+    if args.live_http:
+        from edgar_ray.stages.fetch_http import UrllibTransport
+
+        rewrite = (tuple(args.live_rewrite.split("=", 1))
+                   if args.live_rewrite else None)
+        live_transport = UrllibTransport(rewrite=rewrite)
     res = crawl(
-        args.pages, seeds,
+        args.pages if live_transport is None else None, seeds,
         num_shards=args.num_shards, capacity=args.capacity,
         host_budget=args.host_budget,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         output_dir=args.output_dir, consume_facts=args.output_dir is None,
+        live_transport=live_transport,
+        live_strict_per_host=args.strict_per_host,
     )
     lineage_path = os.path.join(args.checkpoint_dir, "lineage.parquet")
     pq.write_table(res.lineage, lineage_path)
