@@ -129,6 +129,31 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
                         live_clock=clock)
         return res.filings_facts
 
+    def source_warc_pages(sf):
+        """Common-Crawl-native ingest edge: the synthetic pages corpus
+        re-sharded as a multi-member-gzip WARC segment, read back through
+        sources/warc.read_warc, text recomputed from the html — the DuckDB
+        twin reads the generator's golden text column, so the value-hash is
+        the input_hint byte-identity invariant THROUGH the WARC format."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from edgar_ray.sources.warc import read_warc, write_warc
+        from edgar_ray.stages.extract import recompute_text
+
+        paths = _corpus()
+        seg = os.path.join(_corpus_dir(), "pages.warc.gz")
+        if not os.path.exists(seg):
+            t = pq.read_table(paths["pages"])
+            html = [(h if isinstance(h, bytes) else h.encode())
+                    for h in t["html"].to_pylist()]
+            write_warc(pa.table({"url": t["url"], "warc_ts": t["warc_ts"],
+                                 "html": pa.array(html, pa.binary())}),
+                       seg + ".tmp", gzip_records=True)
+            os.replace(seg + ".tmp", seg)
+        return read_warc(seg).map_batches(recompute_text,
+                                          batch_format="pyarrow")
+
     def text_parity(sf):
         """Recompute the canonical extracted text from html for every page;
         the DuckDB twin reads the generator's golden ``text`` column, so the
@@ -317,6 +342,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "crawl_order": crawl_order,
         "crawl_live_transport": crawl_live_transport,
         "crawl_text_parity": text_parity,
+        "source_warc_pages": source_warc_pages,
         "crawl_missing_docs": crawl_missing_docs,
         # Filing query API (/root/reference/edgar.go:18-94) over crawled facts
         "filings_available": filings_available,
@@ -424,6 +450,9 @@ def _crawl_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{d}/crawl_order_golden.parquet')
         """,
         "crawl_text_parity": f"""
+            SELECT url, text FROM read_parquet('{d}/pages.parquet')
+        """,
+        "source_warc_pages": f"""
             SELECT url, text FROM read_parquet('{d}/pages.parquet')
         """,
         "crawl_missing_docs": f"""

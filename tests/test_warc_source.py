@@ -1,0 +1,89 @@
+"""WARC ingest edge: round-trip (plain + multi-member gzip), truncation
+tolerance, and the full crawl running from a WARC-sourced pages factory."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from edgar_ray.sources.warc import (gunzip_members, parse_warc, read_warc,
+                                    write_warc)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    from edgar_ray.sources.synth import write_corpus
+
+    out = str(tmp_path_factory.mktemp("warc_corpus"))
+    return write_corpus(out, 3, 2)
+
+
+def _pages_table(corpus):
+    t = pq.read_table(corpus["pages"])
+    html = [(h if isinstance(h, bytes) else h.encode())
+            for h in t["html"].to_pylist()]
+    return pa.table({"url": t["url"],
+                     "warc_ts": t["warc_ts"],
+                     "html": pa.array(html, pa.binary())})
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(corpus, tmp_path, gz, ray_session):
+    pages = _pages_table(corpus)
+    path = os.path.join(tmp_path, "seg.warc" + (".gz" if gz else ""))
+    write_warc(pages, path, gzip_records=gz)
+    got = read_warc(path).to_pandas().sort_values("url").reset_index(drop=True)
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert [bytes(b) for b in got["html"]] == [bytes(b) for b in want["html"]]
+    # timestamps survive at second precision (the WARC-Date grain)
+    assert (got["warc_ts"].dt.floor("s")
+            == want["warc_ts"].dt.floor("s")).all()
+
+
+def test_warc_multi_member_gzip(corpus, tmp_path):
+    pages = _pages_table(corpus).slice(0, 5)
+    path = os.path.join(tmp_path, "m.warc.gz")
+    write_warc(pages, path, gzip_records=True)
+    blob = open(path, "rb").read()
+    # the writer emits one gzip member per record; a single-member reader
+    # would see only the first record
+    assert gunzip_members(blob).count(b"WARC/1.0") == 5
+    assert len(parse_warc(blob)) == 5
+
+
+def test_warc_truncation_yields_prefix(corpus, tmp_path):
+    pages = _pages_table(corpus).slice(0, 4)
+    path = os.path.join(tmp_path, "t.warc")
+    write_warc(pages, path)
+    blob = open(path, "rb").read()
+    full = parse_warc(blob)
+    assert len(full) == 4
+    # cut mid-way through the SECOND record's bytes
+    second = blob.find(b"WARC/1.0", 1)
+    cut = parse_warc(blob[: second + 40])
+    assert len(cut) == 1
+    assert cut == full[:1]
+
+
+def test_crawl_over_warc_source(corpus, tmp_path, ray_session):
+    """The 3-wave crawl runs with WARC as the pages source and produces the
+    same facts as the parquet path (vs the independent golden)."""
+    from edgar_ray.pipelines.crawl import crawl
+
+    pages = _pages_table(corpus)
+    path = os.path.join(tmp_path, "pages.warc.gz")
+    write_warc(pages, path, gzip_records=True)
+    seeds = pq.read_table(corpus["seed_tickers"])
+    warc_ds = read_warc(path).map_batches(
+        lambda t: t.select(["url", "html"]), batch_format="pyarrow"
+    ).materialize()
+    res = crawl(None, seeds, pages_ds_factory=lambda: warc_ds, num_shards=2)
+    facts = res.filings_facts.to_pandas().sort_values(
+        "accession").reset_index(drop=True)
+    gold = pq.read_table(corpus["filings_golden"]).to_pandas() \
+        .sort_values("accession").reset_index(drop=True)
+    assert len(facts) == len(gold)
+    for c in ("ops_Revenue", "bs_Assets", "validation_error"):
+        assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
