@@ -316,6 +316,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
             "text_fingerprint", text.fingerprint_summary),
         "text_fingerprint_full": text.fingerprints,
         "text_repetition": text.repetition_signals,
+        "text_compression_ratio": text.compression_ratio,
         "text_vocabulary": text.vocabulary,
         "text_pii_scrub": text.pii_scrub,
         # dataset curation (split / sample / profile / leakage / mixing)

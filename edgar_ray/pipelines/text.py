@@ -625,6 +625,37 @@ def fingerprint_summary(sf_dir: str):
         _fingerprint_summary_batch, batch_format="pyarrow", batch_size=1024)
 
 
+# -- compression-ratio signal ------------------------------------------------
+
+
+def compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the standard
+    cheap boilerplate/template detector in web curation stacks (highly
+    repetitive or templated text compresses far below prose). Doc-local map,
+    zlib runs at C speed per row; deterministic for a fixed level so the
+    stability/ordering properties are test-pinned (rows-only by nature:
+    no SQL engine exposes zlib)."""
+    import zlib
+
+    def score(t: pa.Table) -> pa.Table:
+        data, starts, ends = _utf8_buffers(t["text"])
+        mv = memoryview(data)
+        raw = (ends - starts).astype(np.int64)
+        comp = np.fromiter(
+            (len(zlib.compress(mv[a:b], 6)) for a, b in zip(starts, ends)),
+            np.int64, count=t.num_rows)
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 1.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "compressed_bytes": pa.array(comp, pa.int64()),
+            "compression_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", batch_size=4096)
+
+
 # -- repetition signals (Gopher-style) --------------------------------------
 
 def repetition_signals(sf_dir: str):

@@ -701,3 +701,26 @@ def test_dedup_incremental_planted(tmp_path, ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [1, 3, 5]
     assert out["dup_of"].tolist() == [0, -1, 4]
+
+
+def test_compression_ratio_orders_repetition(tmp_path, ray_session):
+    """Templated/repetitive text compresses below prose; empty docs get the
+    1.0 sentinel; ratios are deterministic across runs."""
+    from edgar_ray.pipelines.text import compression_ratio
+
+    texts = ["spam spam spam " * 50,
+             BASE,  # prose
+             "",
+             "x" * 4000]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    out = compression_ratio(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    r = out["compression_ratio"]
+    assert r[0] < r[1]          # repetition compresses below prose
+    assert r[3] < r[0]          # constant run compresses best
+    assert r[2] == 1.0          # empty sentinel
+    out2 = compression_ratio(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out["compressed_bytes"] == out2["compressed_bytes"]).all()
