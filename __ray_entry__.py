@@ -144,13 +144,21 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         paths = _corpus()
         seg = os.path.join(_corpus_dir(), "pages.warc.gz")
         if not os.path.exists(seg):
+            import tempfile
+
             t = pq.read_table(paths["pages"])
             html = [(h if isinstance(h, bytes) else h.encode())
                     for h in t["html"].to_pylist()]
+            # private temp name (mkstemp) so two concurrent drivers/test
+            # workers building the same corpus dir can never interleave
+            # writes into one tmp file and publish a corrupt segment
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(seg),
+                                       suffix=".warc.tmp")
+            os.close(fd)
             write_warc(pa.table({"url": t["url"], "warc_ts": t["warc_ts"],
                                  "html": pa.array(html, pa.binary())}),
-                       seg + ".tmp", gzip_records=True)
-            os.replace(seg + ".tmp", seg)
+                       tmp, gzip_records=True)
+            os.replace(tmp, seg)
         return read_warc(seg).map_batches(recompute_text,
                                           batch_format="pyarrow")
 

@@ -218,10 +218,15 @@ def run_scaling(repeat: int = 1) -> dict:
                 for a, b in zip(samples[8], samples[32])]
 
     paired_e2e = _pair_effs(lambda a, b: (a["value"] / b["value"]) / 4.0)
-    paired_steady = _pair_effs(
-        lambda a, b: ((b["crawl"].get("steady_pages_per_sec") or 0.0)
-                      / (4.0 * (a["crawl"].get("steady_pages_per_sec")
-                                or 1e-9))))
+
+    def _steady_pair(a, b):
+        # 0.0 sentinel when either leg's steady reading is missing/zero,
+        # matching run_scaling_bw's eff() convention
+        lo_ = a["crawl"].get("steady_pages_per_sec") or 0.0
+        hi_ = b["crawl"].get("steady_pages_per_sec") or 0.0
+        return (hi_ / (4.0 * lo_)) if lo_ and hi_ else 0.0
+
+    paired_steady = _pair_effs(_steady_pair)
     import statistics as _st
 
     lo = min(samples[8], key=lambda d: d["value"])
@@ -327,11 +332,15 @@ def run_scaling_bw(legs: int = 4, cpus: int = 8) -> dict:
                sys.executable, os.path.abspath(__file__)]
         procs.append(subprocess.Popen(
             cmd, env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True,
+            stderr=subprocess.PIPE, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__))))
     legs_out = []
-    for p in procs:
-        out, _ = p.communicate()
+    for i, p in enumerate(procs):
+        out, err = p.communicate()
+        if p.returncode != 0 or not out.strip():
+            raise RuntimeError(
+                f"scaling-bw small leg {i} failed (rc={p.returncode}): "
+                f"{(err or '')[-2000:]}")
         legs_out.append(json.loads(out.strip().splitlines()[-1]))
     thr_small = [d["crawl"]["pages_parsed_per_sec"] for d in legs_out]
     st_small = [d["crawl"].get("steady_pages_per_sec") or 0.0

@@ -264,7 +264,11 @@ def load_robots(pages_source, hosts: list[str],
             for lo in range(0, n_rg, step):
                 refs.append(_scan_robots_rgs.remote(
                     f, list(range(lo, min(lo + step, n_rg))), want))
-        found = pa.concat_tables(ray.get(refs))
+        # a path that resolves to zero files/row groups yields no scan tasks;
+        # match the filtered-pass behavior (empty url/html table, no rules)
+        found = (pa.concat_tables(ray.get(refs)) if refs
+                 else pa.table({"url": pa.array([], pa.string()),
+                                "html": pa.array([], pa.binary())}))
     else:
         t_ref = ray.put(set(targets))
 

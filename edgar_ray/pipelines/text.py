@@ -80,16 +80,22 @@ def token_count(sf_dir: str):
 
 
 class TokenCounter:
-    """BPE-ish subword token estimate: alphabetic runs + digit runs + one
-    piece per other non-space character (the ``[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]``
-    contract). The batch kernel is one vectorized pass over the batch's
+    """BPE-ish subword token estimate: alphabetic runs + ASCII-digit runs +
+    one piece per other non-(ASCII-space) character. The contract is
+    ASCII-EXPLICIT on digits and whitespace — ``[A-Za-z]+|[0-9]+|[^ \\t\\n
+    \\v\\f\\r\\x1c-\\x1fA-Za-z0-9]`` — so non-ASCII digits (e.g. fullwidth
+    '１２３') count one piece PER CHARACTER and non-ASCII Unicode whitespace
+    (U+00A0, U+2003, ...) counts as a piece rather than a separator, in both
+    the byte kernel and the scalar twin (same boundary as the ``_WS_LUT``
+    note above). The batch kernel is one vectorized pass over the batch's
     UTF-8 buffer: run counting like :func:`_token_count_batch` for the two
     run classes, plus a positional count of other non-continuation bytes
     (so a multi-byte UTF-8 char counts once, like the regex). The compiled
     regex stays as the scalar parity twin (``count_pieces_rows``)."""
 
     def __init__(self):
-        self.pat = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+        self.pat = re.compile(
+            r"[A-Za-z]+|[0-9]+|[^ \t\n\v\f\r\x1c-\x1fA-Za-z0-9]")
 
     def count_pieces_rows(self, texts: list[str]) -> list[int]:
         """Scalar twin (the original per-row implementation)."""

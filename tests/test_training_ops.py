@@ -616,6 +616,15 @@ def _random_texts(seed=11, n=2000):
     return out
 
 
+# ASCII-explicit TokenCounter boundary cases: fullwidth digits count one
+# piece per char (not one [0-9]+ run); non-ASCII whitespace (NBSP, EM SPACE)
+# is a piece, not a separator; \x1c-\x1f are ASCII whitespace. These chars
+# diverge from len(s.split()) by design, so they are NOT in _random_texts
+# (the token_count kernel documents that boundary instead).
+PIECES_BOUNDARY = ["\uff11\uff12\uff13", "a\u00a0b", "x\u2003y",
+                   "12\uff13 4", "a\x1cb\x1fc"]
+
+
 def _as_table(texts):
     return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                      "text": pa.array(texts, pa.string())})
@@ -633,7 +642,7 @@ def test_token_pieces_kernel_parity():
     from edgar_ray.pipelines.text import TokenCounter
 
     tc = TokenCounter()
-    texts = _random_texts(seed=12)
+    texts = _random_texts(seed=12) + PIECES_BOUNDARY
     got = tc(_as_table(texts))["n_pieces"].to_pylist()
     assert got == tc.count_pieces_rows(texts)
 
