@@ -1,12 +1,22 @@
 """End-to-end BFS crawl + extract pipeline (the flagship).
 
-Wave loop (3 waves: query -> filing index -> R-report, exactly the
-reference's page graph /root/reference/page.go:42-73):
+FRONTIER-DRIVEN wave loop over a data-driven page-class graph
+(stages/graph.CrawlGraph): each wave admits the frontier's candidates,
+fetches them ONCE, and dispatches fetched pages by class — expand classes
+parse links into the next wave's candidates, terminal classes extract facts
+partials. The loop runs until the frontier admits nothing; the facts reduce
+runs once, after the loop, over the union of every terminal wave:
 
   seed frontier ──admit──> fetch (pages table ⋈ admitted urls)
-      ──map_batches(parse)──robots_gate──> next wave candidates ──admit──> …
-  wave-2 pages ──map_batches(extract_facts: full per-doc parse)──> facts_raw
-      ──groupby(accession-bucket).map_groups(vectorized merge)──> filings_facts
+      ──map_batches(dispatch: parsers+robots│extractor+partial by class)──>
+          candidates ──admit──> …     facts partials ──(per wave)──>
+  after loop: union(partials) ──groupby(key-bucket).map_groups(reduce)──> facts
+
+The default graph is the reference's 3-level page walk (query -> filing
+index -> R-report, /root/reference/page.go:42-73), which under the general
+loop still crawls exactly 3 waves: report pages are terminal, so wave 3's
+frontier is empty. A generic web graph (sources/synth_graph.py) runs the
+same loop to arbitrary depth.
 
 "Fetch" = lookup in the Common-Crawl-style ``pages`` Parquet table (the html
 column stands in for live HTTP per the input contract); Ray task retries
@@ -39,18 +49,15 @@ import ray
 import ray.data as rd
 
 from ..stages.extract import (
-    extract_facts,
-    parse_index_pages,
-    parse_query_pages,
     seed_frontier,
     url_host as extract_host,
 )
-from ..stages.merge import merge_facts
 from ..state.frontier import Frontier
 
-_WAVE_PARSERS = {0: parse_query_pages, 1: parse_index_pages}
+# frontier metadata attached to fetched pages (page_class drives the
+# per-class dispatch; the rest is the fixed priority/identity schema)
 _META_COLS = ["ticker", "cik", "filing_type", "filed_date", "accession",
-              "doc_type", "report_num", "seed_rank"]
+              "doc_type", "report_num", "seed_rank", "page_class"]
 
 
 @dataclass
@@ -304,12 +311,29 @@ def _collect_table(ds) -> pa.Table:
     return pa.concat_tables(tbls, promote_options="default").combine_chunks()
 
 
+
+
+@ray.remote
+def _count_terminal(tbl: pa.Table, term_list: list[str]) -> int:
+    """Block-parallel terminal-row count for join-regime waves (the driver
+    never touches the admitted metadata itself in that regime)."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0 or "page_class" not in tbl.column_names:
+        return 0
+    return int(pc.sum(pc.is_in(tbl["page_class"],
+                               value_set=pa.array(term_list))).as_py() or 0)
+
+
 def crawl(
     pages_path: str | list[str] | None,
-    seed_tickers: pa.Table,
+    seed_tickers: pa.Table | None,
     *,
     pages_ds_factory=None,
     filing_types: tuple[str, ...] = ("10-K", "10-Q"),
+    graph=None,
+    seed_candidates: pa.Table | None = None,
+    max_waves: int | None = None,
     num_shards: int = 4,
     capacity: int = 1 << 18,
     host_budget: float = 1000.0,
@@ -328,11 +352,43 @@ def crawl(
     consume_facts: bool = False,
     output_dir: str | None = None,
 ) -> CrawlResult:
-    """Run the 3-wave crawl over a pages table. Returns the merged
-    filings_facts Dataset (lazy) plus crawl order / lineage tables."""
+    """Run a frontier-driven crawl over a pages table.
+
+    The wave loop is GENERAL: it runs until the frontier admits nothing (or
+    ``max_waves``/``stop_after_wave`` caps it), dispatching each fetched
+    page by its ``page_class`` through the :class:`~..stages.graph.CrawlGraph`
+    spec — expand classes parse links into the next wave's candidates,
+    terminal classes extract facts partials that are merged ONCE after the
+    loop by the graph's reducer. ``graph=None`` selects the EDGAR 3-level
+    graph (/root/reference/page.go:42-73), which under this loop still
+    crawls exactly 3 waves because report pages are terminal and the
+    frontier then empties by itself. Returns the merged facts Dataset
+    (lazy) plus crawl order / lineage tables.
+
+    Mixed terminal+expand waves fetch ONCE and split the materialized
+    per-wave outbox (candidates + facts partials share one padded schema
+    with a ``_kind`` tag); pure waves skip the padding entirely, so the
+    EDGAR graph's per-wave plans are byte-identical to the fixed-depth
+    loop it replaces.
+    """
     import time
 
+    import pyarrow.compute as pc
+
+    from ..stages.graph import (
+        KIND_CANDIDATE,
+        KIND_FACTS,
+        edgar_graph,
+        empty_pages_batch,
+        make_dispatch,
+        take_kind,
+        with_page_class,
+    )
+
     t_setup = time.monotonic()
+
+    if graph is None:
+        graph = edgar_graph()
 
     if merge_partitions == "auto":
         # pre-merge coalesce width: ~2 blocks per core feeds the merge
@@ -347,13 +403,23 @@ def crawl(
         cols = ["url", "html"]
         pages_ds_factory = lambda: rd.read_parquet(pages_path, columns=cols)  # noqa: E731
 
+    # seed frontier: either caller-provided candidates (generic graphs) or
+    # the EDGAR (ticker, filing type) query URLs; page_class attaches here
+    # (driver-side is fine: seeds are tiny) and inside the parse stages for
+    # every later wave
+    if seed_candidates is not None:
+        seeds_tbl = with_page_class(seed_candidates, graph.classify)
+    else:
+        seeds_tbl = with_page_class(
+            seed_frontier(seed_tickers, filing_types), graph.classify)
+
     # shard actors start spinning up while robots.txt is fetched/parsed
     frontier = Frontier(num_shards=num_shards, capacity=capacity,
                         host_budget=host_budget)
     robots_gate = None
     if respect_robots:
-        hosts = sorted({extract_host(u) for u in
-                        seed_frontier(seed_tickers, filing_types)["url"].to_pylist()})
+        hosts = sorted({extract_host(u)
+                        for u in seeds_tbl["url"].to_pylist()})
         if live_transport is not None and pages_ds_factory is None:
             # live mode: robots.txt comes over the transport itself, with
             # the same retry/backoff discipline as the page fetcher. Only a
@@ -410,19 +476,34 @@ def crawl(
                 urls = np.asarray(batch["url"].to_pylist(), dtype=str)
                 ok = ~robots_block_mask(urls, r)
                 return batch.append_column("robots_ok", pa.array(ok))
+
+    # facts machinery: probe the graph's extractor+partial once for the
+    # facts-partial schema (drives mixed-wave padding and empty outputs)
+    partial_fn = graph.partial_factory(merge_num_buckets)
+    probe = partial_fn(graph.extractor(empty_pages_batch()))
+    facts_fields = list(zip(probe.schema.names, probe.schema.types))
+    facts_cols = [n for n, _ in facts_fields]
+    cand_fields = list(zip(seeds_tbl.schema.names, seeds_tbl.schema.types))
+    if robots_gate is not None:
+        cand_fields.append(("robots_ok", pa.bool_()))
+    cand_cols = [n for n, _ in cand_fields]
+    union_fields = (cand_fields
+                    + [(n, t) for n, t in facts_fields if n not in cand_cols]
+                    + [("_kind", pa.int8())])
+
     manifest_path = os.path.join(checkpoint_dir, "MANIFEST.json") if checkpoint_dir else None
     completed: dict[str, Any] = {"waves": []}
     start_wave = 0
-    facts_ds0 = None
+    done_waves: set[int] = set()
     # candidates live as a DATASET end to end (admission is distributed;
     # the driver never materializes the candidate table)
-    candidates = rd.from_arrow(seed_frontier(seed_tickers, filing_types))
+    candidates = rd.from_arrow(seeds_tbl)
     admitted_tables: list[pa.Table] = []
 
     if resume and manifest_path and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             completed = json.load(f)
-        done_waves = completed["waves"]
+        done_waves = set(completed["waves"])
         if done_waves:
             last = max(done_waves)
             frontier.restore(checkpoint_dir)
@@ -433,32 +514,30 @@ def crawl(
             nxt = os.path.join(checkpoint_dir, f"wave{last}_next.parquet")
             candidates = rd.read_parquet(nxt) if os.path.exists(nxt) else None
             start_wave = last + 1
-            if 2 in done_waves:
-                # fully-completed run: rebuild the merge from the wave-2
-                # facts checkpoint (no refetch)
-                facts_dir = os.path.join(checkpoint_dir, "wave2_facts_raw")
-                if os.path.exists(os.path.join(facts_dir, "_DONE")):
-                    fr = rd.read_parquet(facts_dir)
-                    if merge_partitions:
-                        fr = fr.repartition(merge_partitions)
-                    facts_ds0 = merge_facts(fr, num_buckets=merge_num_buckets)
-
 
     t0 = time.monotonic()
     # pre-wave constant: robots load + frontier shard spin-up + seed build
     # (equal on every cluster size — the scaling analysis tracks it)
     setup_s = t0 - t_setup
     pages_fetched = 0
-    facts_ds = facts_ds0
+    facts_srcs: list = []  # this run's terminal-wave partial Datasets
+    last_term_wave: int | None = None
     wave_timings: dict[int, dict] = {}
     stamped_by_wave: dict[int, list] = {}
-    for wave in range(start_wave, 3):
-        if candidates is None:
-            break
+    term_list = sorted(graph.terminal)
+    term_arr = pa.array(term_list)
+    wave = start_wave
+    while candidates is not None and (max_waves is None or wave < max_waves):
+        # resumed candidates from a pre-graph checkpoint (or hand-built
+        # tables) may lack page_class — attach it distributed
+        if "page_class" not in candidates.schema().names:
+            candidates = candidates.map_batches(
+                lambda t: with_page_class(t, graph.classify),
+                batch_format="pyarrow")
         t_w = time.monotonic()
         # Admission is HYBRID by wave size (both paths share the same shard
         # actors, politeness clock and semantics — identical results):
-        # - small ramp-up waves (BFS waves 0-1 of a fresh frontier): the
+        # - small ramp-up waves (the BFS frontier of a fresh crawl): the
         #   driver path — collect the tiny metadata table, one numpy
         #   lexsort; the distributed machinery's per-plan constants would
         #   dominate at this size even on a real cluster;
@@ -467,6 +546,8 @@ def crawl(
         #   sort + seq/politeness stamping run as Ray Data stages /
         #   block-parallel tasks; the driver sees per-block metadata only.
         n_cand = candidates.count()
+        if n_cand == 0:
+            break
         if n_cand <= admit_driver_threshold:
             cand_tbl = _collect_table(candidates)
             admitted = (frontier.admit_wave(cand_tbl, wave)
@@ -476,13 +557,14 @@ def crawl(
                 break
             admitted_tables.append(admitted)
             # the UNFILTERED admitted table is what checkpoints: the
-            # mid-wave-2 resume filter below drops already-done ticker rows
+            # mid-wave resume filter below drops already-done partition rows
             # from the FETCH only — persisting the filtered variant would
-            # permanently lose those rows from wave2_admitted.parquet (seq
+            # permanently lose those rows from wave{N}_admitted.parquet (seq
             # gaps in a later crawl_order rebuild). The distributed path
             # checkpoints pre-filter stamped refs; this keeps parity.
             admitted_ckpt = admitted
             admitted_ds = None
+            sorted_refs = None
         else:
             stamped_refs, n_admitted, sorted_refs = frontier.admit_wave_ds(
                 candidates, wave)
@@ -505,39 +587,59 @@ def crawl(
                 admitted_ds = rd.from_arrow_refs(sorted_refs)
         t_admit = time.monotonic() - t_w
         t_w = time.monotonic()
-        # mid-wave-2 resume granularity: tickers whose facts partition
-        # already carries a _DONE marker (from a run killed mid-wave-2)
-        # are dropped BEFORE the fetch — only unfinished partitions
-        # refetch (finer than the all-or-nothing wave checkpoint)
+        # wave composition: terminal rows feed the extractor, expand rows
+        # feed the link parsers; pure waves skip the mixed-schema padding
+        if admitted is not None:
+            if "page_class" not in admitted.column_names:
+                admitted = with_page_class(admitted, graph.classify)
+            tmask = pc.is_in(admitted["page_class"], value_set=term_arr)
+            n_term = int(pc.sum(tmask).as_py() or 0)
+        else:
+            n_term = sum(ray.get([_count_terminal.remote(r, term_list)
+                                  for r in sorted_refs]))
+        n_expand = n_admitted - n_term
+        mode = ("mixed" if (n_term and n_expand)
+                else ("facts" if n_term else "cand"))
+        # mid-wave resume granularity: TERMINAL rows whose facts partition
+        # already carries a _DONE marker (from a run killed mid-wave) are
+        # dropped BEFORE the fetch — only unfinished partitions refetch
+        # (finer than the all-or-nothing wave checkpoint). Expand rows are
+        # never dropped: an incomplete wave must still discover its links.
         skipped_pages = 0
         done_parts: set = set()
         live_skip_parts: list = []
-        if wave == 2 and checkpoint_dir:
+        pcol = graph.partition_col
+        facts_dir = (os.path.join(checkpoint_dir, f"wave{wave}_facts_raw")
+                     if checkpoint_dir else None)
+        if n_term and facts_dir:
             from ..stages.sink import finished_partitions
 
-            facts_dir = os.path.join(checkpoint_dir, "wave2_facts_raw")
-            done_parts = finished_partitions(facts_dir, "ticker")
+            done_parts = finished_partitions(facts_dir, pcol)
             if done_parts and not os.path.exists(
                     os.path.join(facts_dir, "_DONE")):
                 live_skip_parts = sorted(done_parts)
                 done_arr = pa.array(live_skip_parts)
-                import pyarrow.compute as pc
                 if admitted is not None:
-                    keep = pc.invert(pc.is_in(admitted["ticker"],
-                                              value_set=done_arr))
+                    drop = pc.and_(pc.is_in(admitted[pcol],
+                                            value_set=done_arr),
+                                   pc.is_in(admitted["page_class"],
+                                            value_set=term_arr))
                     before = admitted.num_rows
-                    admitted = admitted.filter(keep)
+                    admitted = admitted.filter(pc.invert(drop))
                     skipped_pages = before - admitted.num_rows
                 else:
-                    done_ref = ray.put(sorted(done_parts))
+                    done_ref = ray.put((live_skip_parts, term_list, pcol))
 
                     def _drop_done(t: pa.Table) -> pa.Table:
                         import pyarrow.compute as _pc
 
-                        dl = ray.get(done_ref) if isinstance(
+                        dl, tl, pc_ = ray.get(done_ref) if isinstance(
                             done_ref, ray.ObjectRef) else done_ref
-                        return t.filter(_pc.invert(_pc.is_in(
-                            t["ticker"], value_set=pa.array(dl))))
+                        drop_ = _pc.and_(
+                            _pc.is_in(t[pc_], value_set=pa.array(dl)),
+                            _pc.is_in(t["page_class"],
+                                      value_set=pa.array(tl)))
+                        return t.filter(_pc.invert(drop_))
 
                     admitted_ds = admitted_ds.map_batches(
                         _drop_done, batch_format="pyarrow").materialize()
@@ -547,25 +649,26 @@ def crawl(
             # retries + fetcher-side politeness (stages/fetch_http.py); the
             # stamped rows carry scheduled_at, so this path consumes them
             # instead of the pages-table join
-            import pyarrow.compute as pc
-
             from ..stages.fetch_http import fetch_live
 
             if wave in stamped_by_wave:
                 live_src = rd.from_arrow_refs(stamped_by_wave[wave])
                 if live_skip_parts:
-                    # mid-wave-2 resume: drop finished ticker partitions
+                    # mid-wave resume: drop finished TERMINAL partitions
                     # BEFORE touching the live host (the stamped refs are
                     # pre-filter; the parquet path filtered admitted above)
-                    skip_ref = ray.put(live_skip_parts)
+                    skip_ref = ray.put((live_skip_parts, term_list, pcol))
 
                     def _drop_done_live(t: pa.Table) -> pa.Table:
                         import pyarrow.compute as _pc
 
-                        dl = ray.get(skip_ref) if isinstance(
+                        dl, tl, pc_ = ray.get(skip_ref) if isinstance(
                             skip_ref, ray.ObjectRef) else skip_ref
-                        return t.filter(_pc.invert(_pc.is_in(
-                            t["ticker"], value_set=pa.array(dl))))
+                        drop_ = _pc.and_(
+                            _pc.is_in(t[pc_], value_set=pa.array(dl)),
+                            _pc.is_in(t["page_class"],
+                                      value_set=pa.array(tl)))
+                        return t.filter(_pc.invert(drop_))
 
                     live_src = live_src.map_batches(
                         _drop_done_live, batch_format="pyarrow")
@@ -584,76 +687,58 @@ def crawl(
                                   admitted if admitted_ds is None else admitted_ds,
                                   join_threshold, wave=wave,
                                   num_rows=n_admitted - skipped_pages)
-        if wave < 2:
-            parsed = fetched.map_batches(_WAVE_PARSERS[wave], batch_format="pyarrow")
-            if robots_gate is not None:
-                parsed = parsed.map_batches(robots_gate, batch_format="pyarrow")
-            # next wave's candidates: materialized Dataset (object store) —
-            # decoupling the heavy fetch+parse map from the admission plan's
-            # two all-to-alls; fusing them into one streaming plan thrashes
-            # the executor's resource reservations (measured 3-5x wall time)
-            candidates = parsed.materialize()
+        # ONE fetch per wave feeds the class dispatch (parsers + robots
+        # gate for expand rows, extractor + partial combiner for terminal
+        # rows — fused into the fetch plan like the legacy per-wave
+        # stages). Materializing the outbox decouples the heavy fetch+parse
+        # map from the admission/merge all-to-alls (sharing one streaming
+        # plan thrashes executor resource reservations — measured 3-5x
+        # wall) and is the natural wave checkpoint boundary; only parsed
+        # METADATA and ~100-byte facts partials materialize, never html.
+        dispatch = make_dispatch(graph, partial_fn, robots_gate=robots_gate,
+                                 mode=mode, union_fields=union_fields)
+        t_stage = time.monotonic()
+        outbox = fetched.map_batches(
+            dispatch, batch_format="pyarrow").materialize()
+        if mode == "cand":
+            cand_next, facts_w = outbox, None
+        elif mode == "facts":
+            cand_next, facts_w = None, outbox
         else:
-            from ..stages.merge import partial_merge_batch
-
-            # The per-accession partial combiner is FUSED into the extract
-            # plan (same TaskPoolMapOperator chain, no extra pass): what
-            # materializes/checkpoints is ~1 partial row per (batch,
-            # accession) — a fraction of one-row-per-page — and the merge
-            # shuffle consumes the partials directly. Materializing here
-            # still decouples the heavy fetch+parse map from the merge
-            # all-to-alls (sharing one streaming plan thrashes executor
-            # resource reservations — measured 5x wall at 8 cpus) and is
-            # the natural wave-2 checkpoint boundary.
-            facts_raw = fetched.map_batches(
-                extract_facts, batch_format="pyarrow"
-            ).map_batches(
-                partial_merge_batch(merge_num_buckets, count_pages=True),
-                batch_format="pyarrow")
-            t_stage = time.monotonic()
-            facts_raw = facts_raw.materialize()
-            extract_s = time.monotonic() - t_stage
+            cand_next = outbox.map_batches(
+                take_kind(KIND_CANDIDATE, cand_cols),
+                batch_format="pyarrow").materialize()
+            facts_w = outbox.map_batches(
+                take_kind(KIND_FACTS, facts_cols),
+                batch_format="pyarrow").materialize()
+        extract_s = time.monotonic() - t_stage
+        pages_ok = pages_err = 0
+        if facts_w is not None:
+            last_term_wave = wave
             # fetch accounting (lineage: pages_ok/pages_err): each partial
             # carries how many page rows it collapsed; admitted urls absent
             # from the pages table are fetch failures (404s of the stand-in)
-            pages_ok = int(facts_raw.sum("pages_in_partial") or 0)
-            pages_err = int(n_admitted - skipped_pages) - pages_ok
-            if checkpoint_dir:
-                # wave-2 facts checkpoint: the compact parsed form (one
-                # ~100-byte row per page) lands TICKER-PARTITIONED through
-                # the resumable sink (per-partition _DONE markers), so a run
-                # killed mid-wave-2 resumes at partition granularity instead
-                # of refetching the whole wave; the wave-level _DONE still
-                # marks full completion for the finished-run resume path
+            pages_ok = int(facts_w.sum("pages_in_partial") or 0)
+            pages_err = int(n_term - skipped_pages) - pages_ok
+            if facts_dir:
+                # facts checkpoint: the compact parsed form lands
+                # PARTITIONED through the resumable sink (per-partition
+                # _DONE markers), so a run killed mid-wave resumes at
+                # partition granularity instead of refetching the whole
+                # wave; the wave-level _DONE still marks full completion
                 from ..stages.sink import write_partitioned
 
-                facts_dir = os.path.join(checkpoint_dir, "wave2_facts_raw")
                 if not os.path.exists(os.path.join(facts_dir, "_DONE")):
                     os.makedirs(facts_dir, exist_ok=True)
-                    write_partitioned(facts_raw, facts_dir, "ticker")
+                    write_partitioned(facts_w, facts_dir, pcol)
                     with open(os.path.join(facts_dir, "_DONE"), "w") as fh:
                         fh.write("")
                 # read back the FULL set (this run's partitions + any from
                 # the killed run) for the merge
-                facts_raw = rd.read_parquet(facts_dir)
-            # coalesce the many small filtered blocks before the merge shuffle
-            # (fewer shuffle tasks; row-preserving — at production block sizes
-            # this is a no-op and can be disabled with merge_partitions=None)
-            if merge_partitions:
-                facts_raw = facts_raw.repartition(merge_partitions)
-            facts_ds = merge_facts(facts_raw, num_buckets=merge_num_buckets)
-            if output_dir:
-                # warehouse sink: ticker-partitioned resumable Parquet
-                # (S7; finished partitions skip on a re-run)
-                from ..stages.sink import write_partitioned
-
-                sink_stats = write_partitioned(facts_ds, output_dir, "ticker")
-                facts_ds = rd.read_parquet(output_dir)
-                wave_timings.setdefault("sink", {}).update(sink_stats)
-            if consume_facts:
-                n_facts = facts_ds.count()
-                facts_ds = _ConsumedFacts(facts_ds, n_facts)
-            candidates = None
+                facts_srcs.append(rd.read_parquet(facts_dir))
+            else:
+                facts_srcs.append(facts_w)
+        candidates = cand_next
         wave_timings[wave] = {
             "admit_s": round(t_admit, 3),
             "exec_s": round(time.monotonic() - t_w, 3),
@@ -663,16 +748,17 @@ def crawl(
             **(getattr(frontier, "last_admit_phases", None) or {}),
         }
         frontier.last_admit_phases = None  # one-shot: never leak to later waves
-        if wave == 2:
+        if facts_w is not None:
             wave_timings[wave]["pages_ok"] = int(pages_ok)
             wave_timings[wave]["pages_err"] = int(pages_err)
-            # per-stage breakdown: extract_s = fetch+parse map up to the
-            # facts materialize barrier; merge_s = everything after
-            # (coalesce + merge shuffle + reduce + sink/consume) — the
-            # orchestration constant the scaling analysis tracks
+            # per-stage breakdown: extract_s = fetch+parse/extract map up to
+            # the outbox materialize barrier; merge_s (stamped onto the LAST
+            # terminal wave after the loop) = coalesce + merge shuffle +
+            # reduce + sink/consume — the orchestration constant the scaling
+            # analysis tracks
             wave_timings[wave]["extract_s"] = round(extract_s, 3)
-            wave_timings[wave]["merge_s"] = round(
-                time.monotonic() - t_stage - extract_s, 3)
+        if mode != "cand":
+            wave_timings[wave]["pages_terminal"] = int(n_term)
         pages_fetched += n_admitted - skipped_pages
 
         if checkpoint_dir:
@@ -707,6 +793,50 @@ def crawl(
                 json.dump(completed, f)
         if stop_after_wave is not None and wave >= stop_after_wave:
             break
+        wave += 1
+
+    # facts from waves completed in EARLIER runs (resume): every done wave's
+    # checkpointed partials join the merge; waves re-run this session are
+    # not in done_waves, so nothing double-counts
+    if checkpoint_dir:
+        for w in sorted(done_waves):
+            d = os.path.join(checkpoint_dir, f"wave{w}_facts_raw")
+            if os.path.exists(os.path.join(d, "_DONE")):
+                facts_srcs.insert(0, rd.read_parquet(d))
+
+    # ONE reduce over the union of all terminal waves' partials, after the
+    # loop (the EDGAR graph has a single terminal wave, so this is exactly
+    # the legacy in-wave merge; a general graph's leaf pages can surface at
+    # any depth). Wall time is attributed to the last terminal wave's
+    # exec_s/merge_s so the steady-state metrics keep their meaning.
+    t_merge0 = time.monotonic()
+    facts_ds = None
+    if facts_srcs:
+        facts_raw = facts_srcs[0]
+        for s in facts_srcs[1:]:
+            facts_raw = facts_raw.union(s)
+        # coalesce the many small filtered blocks before the merge shuffle
+        # (fewer shuffle tasks; row-preserving — at production block sizes
+        # this is a no-op and can be disabled with merge_partitions=None)
+        if merge_partitions:
+            facts_raw = facts_raw.repartition(merge_partitions)
+        facts_ds = graph.reduce_factory(merge_num_buckets)(facts_raw)
+        if output_dir:
+            # warehouse sink: partitioned resumable Parquet (S7; finished
+            # partitions skip on a re-run)
+            from ..stages.sink import write_partitioned
+
+            sink_stats = write_partitioned(facts_ds, output_dir, pcol)
+            facts_ds = rd.read_parquet(output_dir)
+            wave_timings.setdefault("sink", {}).update(sink_stats)
+        if consume_facts:
+            n_facts = facts_ds.count()
+            facts_ds = _ConsumedFacts(facts_ds, n_facts)
+    merge_s = time.monotonic() - t_merge0
+    if last_term_wave is not None:
+        wt = wave_timings[last_term_wave]
+        wt["merge_s"] = round(merge_s, 3)
+        wt["exec_s"] = round(wt["exec_s"] + merge_s, 3)
 
     order_cols = ["seq", "wave", "url", "url_sha1", "host", "scheduled_at"]
     n_order_rows = (sum(t.num_rows for t in admitted_tables)
@@ -749,13 +879,15 @@ def crawl(
         "seen_set_overflow": sum(r.get("seen_set_overflow") or 0 for r in lrows),
         "seen_set_reshards": sum(r.get("seen_set_reshards") or 0 for r in lrows),
         "setup_s": round(setup_s, 3),
+        "waves_run": len([w for w in wave_timings if isinstance(w, int)]),
         "wave_timings": wave_timings,
     }
-    if 2 in wave_timings:
-        # steady-state throughput: the deep-frontier regime (wave 2 holds
-        # ~90% of all pages; waves 0-1 are BFS ramp-up whose constant
-        # per-wave orchestration amortizes at production frontier depths)
-        w2 = wave_timings[2]
+    if last_term_wave is not None:
+        # steady-state throughput: the deep-frontier regime (the terminal
+        # wave holds the bulk of all pages on the EDGAR graph; BFS ramp-up
+        # waves carry constant per-wave orchestration that amortizes at
+        # production frontier depths)
+        wt = wave_timings[last_term_wave]
         metrics["steady_pages_per_sec"] = round(
-            w2["pages"] / w2["exec_s"], 2) if w2["exec_s"] > 0 else 0.0
+            wt["pages"] / wt["exec_s"], 2) if wt["exec_s"] > 0 else 0.0
     return CrawlResult(facts_ds, crawl_order, lineage, metrics)

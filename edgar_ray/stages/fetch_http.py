@@ -39,7 +39,7 @@ import time
 import pyarrow as pa
 
 FETCH_META_COLS = ["ticker", "cik", "filing_type", "filed_date", "accession",
-                   "doc_type", "report_num", "seed_rank"]
+                   "doc_type", "report_num", "seed_rank", "page_class"]
 
 
 class UrllibTransport:
