@@ -46,6 +46,43 @@ def _corpus(n_tickers: int = 4, filings: int = 3) -> dict[str, str]:
 _CRAWL_CACHE: dict[str, Any] = {}
 
 
+def _graph_corpus_dir() -> str:
+    from edgar_ray.sources.synth_graph import graph_corpus_version
+
+    return f"/tmp/edgar_ray_webgraph_{graph_corpus_version()}"
+
+
+def _graph_corpus() -> str:
+    """Deep (8-wave) link-graph corpus for the depth-N crawl rows; cached
+    by content hash of the generator + webgraph pipeline modules."""
+    from edgar_ray.sources.synth_graph import write_graph_corpus
+
+    d = _graph_corpus_dir()
+    if not os.path.exists(os.path.join(d, "crawl_order_golden.parquet")):
+        write_graph_corpus(d, sites=4, branching=2, depth=7)
+    return d
+
+
+def _deep_crawl_result():
+    """One shared deep-graph crawl per process (order + facts rows project
+    the same run)."""
+    import pyarrow.parquet as pq
+
+    from edgar_ray.pipelines.crawl import crawl as run_crawl
+    from edgar_ray.pipelines.webgraph import web_graph
+    from edgar_ray.sources.synth_graph import web_seed_candidates
+
+    d = _graph_corpus()
+    key = ("deep", d)
+    if key not in _CRAWL_CACHE:
+        n_sites = pq.read_table(
+            os.path.join(d, "seeds.parquet")).num_rows
+        _CRAWL_CACHE[key] = run_crawl(
+            os.path.join(d, "pages.parquet"), None, graph=web_graph(),
+            seed_candidates=web_seed_candidates(n_sites), num_shards=2)
+    return _CRAWL_CACHE[key]
+
+
 def _crawl_result():
     """One shared crawl of the synthetic corpus per process: several
     registered queries project different outputs (facts / order / getters)
@@ -349,6 +386,12 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         # crawl engine (non-SQL; golden-verified in tests/bench)
         "crawl_filings_facts": crawl_facts,
         "crawl_order": crawl_order,
+        # depth-N frontier loop over the generic web graph (8 waves, mixed
+        # terminal+expand classes; goldens = the spec-level BFS evaluator in
+        # sources/synth_graph.py, independent of the parsers under test)
+        "crawl_deep_order": lambda sf: _deep_crawl_result()
+        .crawl_order.select(["seq", "wave", "url", "host"]),
+        "crawl_deep_facts": lambda sf: _deep_crawl_result().filings_facts,
         "crawl_live_transport": crawl_live_transport,
         "crawl_text_parity": text_parity,
         "source_warc_pages": source_warc_pages,
@@ -379,15 +422,18 @@ _DRIVER_NAMES = [
     # string_classify, left/semi/distinct-count joins, ann_recall) earn
     # driver CORRECTNESS rows. With the per-tier goldens
     # (sources/tier_goldens.py) every one of the 50 is oracle-backed.
-    # crawl engine + filings API (oracle twins: generator golden tables)
+    # crawl engine + filings API (oracle twins: generator golden tables).
+    # ROUND-5 ROTATION: q_broadcast_join + q_collected_counts (hash-green
+    # r1-r4) -> extras, making room for the depth-N frontier-loop rows.
     "crawl_filings_facts", "crawl_order",
+    "crawl_deep_order", "crawl_deep_facts",
     "crawl_text_parity", "crawl_missing_docs",
     "filings_collected", "filings_folder_json",
     # multimodal (binary stages' oracle-checkable metadata projections)
     "multimodal_features_meta", "multimodal_payload_stats",
     # relational operator coverage (SURVEY.md §2 J/O/D/A mappings)
-    "q1_pricing_summary", "q_derived_fields", "q_collected_counts",
-    "q_topk_per_group", "q_broadcast_join", "q_hash_join", "q_anti_join",
+    "q1_pricing_summary", "q_derived_fields",
+    "q_topk_per_group", "q_hash_join", "q_anti_join",
     "q_left_join", "q_semi_join", "q_distinct_count", "q_percentiles",
     "q_string_classify",
     # temporal / windowed custom operators
@@ -457,6 +503,14 @@ def _crawl_oracle_sql() -> dict[str, str]:
         "crawl_order": f"""
             SELECT seq, wave, url, host
             FROM read_parquet('{d}/crawl_order_golden.parquet')
+        """,
+        "crawl_deep_order": f"""
+            SELECT seq, wave, url, host
+            FROM read_parquet('{_graph_corpus()}/crawl_order_golden.parquet')
+        """,
+        "crawl_deep_facts": f"""
+            SELECT ticker, n_docs, total_value_cents, total_words
+            FROM read_parquet('{_graph_corpus()}/site_stats_golden.parquet')
         """,
         "crawl_text_parity": f"""
             SELECT url, text FROM read_parquet('{d}/pages.parquet')
