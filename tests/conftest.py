@@ -25,10 +25,12 @@ def ray_session():
     ray.shutdown()
 
 
-@pytest.fixture(scope="session", params=["sf0.001", "sf0.01"])
+@pytest.fixture(scope="session", params=["sf0.001", "sf0.01", "sf0.1"])
 def sf_dir(request):
-    """Both the smallest tier and the driver's correctness-gate tier
-    (sf0.01) — oracle comparisons must hold at the scale the gate runs."""
+    """All three shipped tiers: the smallest, the driver's correctness-gate
+    tier (sf0.01), and sf0.1 (5k docs / 2k embeddings) whose multi-block
+    corpora exercise the bucketing / segment-cap / partial-fusion paths that
+    single-block tiers cannot."""
     return os.path.join(TESTDATA, request.param)
 
 
