@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump to invalidate all cached goldens when any evaluator changes
-GOLDEN_VERSION = 1
+GOLDEN_VERSION = 2
 
 _ROOT = f"/tmp/edgar_ray_tier_goldens_v{GOLDEN_VERSION}"
 
@@ -87,12 +87,73 @@ def _docs_table(sf_dir: str, columns) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def _langid_golden(sf_dir: str) -> pa.Table:
-    from ..pipelines.text import LangId
+# Language trigram profiles: SPEC CONSTANTS of the lang-ID operator (like
+# the seeded hash bases below, shared by definition between the pipeline
+# and this evaluator; everything computational is reimplemented here).
+_LANG_PROFILES = {
+    "en": "the and that with have this from they were which their said "
+          "would there about when what your them some could other than "
+          "then into time only over also after most made through",
+    "de": "der die und den von das mit sich des auf nicht eine als auch "
+          "werden aber nach wird bei einer durch haben wenn kann noch "
+          "gegen schon zwischen wurde seine unter",
+    "fr": "les des une est dans pour par sur sont avec plus cette mais "
+          "comme tout nous leur bien sans peut dont aussi cela entre "
+          "pendant toujours depuis quelques",
+    "es": "que los del las por una con para como mas pero sus esta entre "
+          "cuando muy sin sobre tambien hasta donde quien desde todos "
+          "durante estos mucho antes",
+}
 
+_LANG_WORD_RE = re.compile(rb"[a-z]+")
+
+
+def _lang_profile_vecs() -> dict[str, dict[bytes, float]]:
+    out: dict[str, dict[bytes, float]] = {}
+    for lang, toks in _LANG_PROFILES.items():
+        grams: dict[bytes, float] = {}
+        for tk in toks.encode().split():
+            for i in range(len(tk) - 2):
+                g = tk[i:i + 3]
+                grams[g] = grams.get(g, 0.0) + 1.0
+        norm = sum(v * v for v in grams.values()) ** 0.5
+        out[lang] = {g: v / norm for g, v in grams.items()}
+    return out
+
+
+def _langid_eval(text: str, profiles: dict[str, dict[bytes, float]]) -> str:
+    """Spec-level scalar lang-ID (independent of pipelines/text.LangId):
+    ASCII-lowercase the UTF-8 bytes, words = [a-z]+ runs joined by single
+    spaces; 'und' when the joined length < 20; score = cosine of the
+    space-free trigram count vector against each (pre-normalized) profile;
+    best language wins on strict > (first profile order breaks ties), 'und'
+    unless the best score clears 0.05."""
+    bs = text.encode("utf-8", "ignore")
+    lowered = bytes(b + 32 if 65 <= b <= 90 else b for b in bs)
+    words = _LANG_WORD_RE.findall(lowered)
+    norm_len = sum(len(w) for w in words) + max(len(words) - 1, 0)
+    if norm_len < 20:
+        return "und"
+    joined = b" ".join(words)
+    grams: dict[bytes, float] = {}
+    for i in range(len(joined) - 2):
+        g = joined[i:i + 3]
+        if b" " in g:
+            continue
+        grams[g] = grams.get(g, 0.0) + 1.0
+    norm = sum(v * v for v in grams.values()) ** 0.5 or 1.0
+    best, best_s = "und", 0.0
+    for lang, prof in profiles.items():
+        s = sum(v * prof.get(g, 0.0) for g, v in grams.items()) / norm
+        if s > best_s:
+            best, best_s = lang, s
+    return best if best_s > 0.05 else "und"
+
+
+def _langid_golden(sf_dir: str) -> pa.Table:
     t = _docs_table(sf_dir, ["doc_id", "text", "lang"])
-    lid = LangId()
-    preds = [lid.classify(s) for s in t["text"].to_pylist()]
+    profiles = _lang_profile_vecs()
+    preds = [_langid_eval(s, profiles) for s in t["text"].to_pylist()]
     return pa.table({"doc_id": t["doc_id"],
                      "lang_pred": pa.array(preds, pa.string()),
                      "lang": t["lang"]})
@@ -104,14 +165,50 @@ def _to_i64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def _fingerprint_golden(sf_dir: str) -> pa.Table:
-    from ..pipelines.text import Fingerprinter
+# winnowing spec constants (Schleimer et al., SIGMOD 2003 parameters as
+# shipped): k-gram size, window, polynomial base and the avalanche constant
+_FP_K, _FP_W = 8, 16
+_FP_B = 0x100000001B3
+_FP_MIX = 0xFF51AFD7ED558CCD
+_FP_POWS = [pow(_FP_B, _FP_K - 1 - j, 1 << 64) for j in range(_FP_K)]
 
+
+def _fingerprint_eval(text: str) -> list[int]:
+    """Spec-level scalar winnowing (independent of pipelines/text.
+    Fingerprinter — pure-Python integer arithmetic, no shared kernels):
+    k-gram hash = avalanche(sum_j byte[s+j] * B^(k-1-j) mod 2^64); docs
+    shorter than k fall back to one blake2b-64 value; <=W k-grams emit the
+    single minimum; otherwise the sorted distinct sliding-window minima,
+    capped at 64."""
+    import hashlib
+
+    data = text.encode()
+    if not data:
+        return []
+    if len(data) < _FP_K:
+        return [int.from_bytes(
+            hashlib.blake2b(data, digest_size=8).digest(), "big")]
+    hs = []
+    for s in range(len(data) - _FP_K + 1):
+        h = 0
+        for j in range(_FP_K):
+            h += data[s + j] * _FP_POWS[j]
+        h &= _M64
+        h ^= h >> 33
+        h = (h * _FP_MIX) & _M64
+        h ^= h >> 33
+        hs.append(h)
+    if len(hs) <= _FP_W:
+        return [min(hs)]
+    mins = {min(hs[i:i + _FP_W]) for i in range(len(hs) - _FP_W + 1)}
+    return sorted(mins)[:64]
+
+
+def _fingerprint_golden(sf_dir: str) -> pa.Table:
     t = _docs_table(sf_dir, ["doc_id", "text"])
-    f = Fingerprinter()
     n_fp, fp_min, fp_xor = [], [], []
     for s in t["text"].to_pylist():
-        fp = [int(x) for x in f.fingerprint(s)]  # sorted ascending, uint64
+        fp = _fingerprint_eval(s)  # sorted ascending, uint64
         n_fp.append(len(fp))
         if fp:
             x = 0
