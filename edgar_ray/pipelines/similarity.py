@@ -113,27 +113,58 @@ class _LshSig:
         return bits.astype(np.int64) @ self.weights
 
 
-def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10, nbits: int = 6,
-            ntables: int = 16):
-    """Approximate top-k: score only vectors sharing >= 1 LSH table bucket
-    with the query (multi-table random-hyperplane LSH), then exact cosine on
-    the candidates. Recall vs knn_brute is measured in tests — the testdata
-    embeddings are near-random (top-10 cosine ~0.37), the hostile regime for
-    ANY sublinear index; at 10^10 rows the (table, bucket) pair becomes the
-    partition key and candidates arrive via one bucket-keyed shuffle instead
+def _multi_probe_sets(q: np.ndarray, sig: _LshSig,
+                      probe_flips: int) -> list[np.ndarray]:
+    """Query-side multi-probe bucket sets (Lv et al., VLDB 2007): per
+    table, probe the exact bucket plus every flip-combination of the
+    ``probe_flips`` lowest-|margin| hyperplane bits — the bits the query
+    sits closest to, hence the likeliest to differ for true neighbors."""
+    import itertools
+
+    proj = np.einsum("d,lkd->lk", q, sig.planes)  # (L, nbits)
+    qb = (proj > 0).astype(np.int64) @ sig.weights
+    out = []
+    for l in range(proj.shape[0]):
+        probes = {int(qb[l])}
+        low = np.argsort(np.abs(proj[l]))[:probe_flips]
+        for r in range(1, probe_flips + 1):
+            for combo in itertools.combinations(low, r):
+                pb = int(qb[l])
+                for bit in combo:
+                    pb ^= int(sig.weights[bit])
+                probes.add(pb)
+        out.append(np.array(sorted(probes), dtype=np.int64))
+    return out
+
+
+def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10, nbits: int = 8,
+            ntables: int = 32, probe_flips: int = 2):
+    """Approximate top-k: score only vectors sharing >= 1 probed LSH table
+    bucket with the query (multi-table random-hyperplane LSH with
+    MULTI-PROBE: each table probes the exact bucket + flips of the 2
+    lowest-margin bits), then exact cosine on the candidates. Recall vs
+    knn_brute is measured by ``ann_recall`` — the testdata embeddings are
+    near-random (top-10 cosine ~0.37), the hostile regime for ANY sublinear
+    index; the shipped constants were chosen BY that metric (recall >= 0.8
+    on all four queries at sf0.01/sf0.1 at ~0.41 candidate fraction — see
+    NOTES.md round-5 sweep). At 10^10 rows the (table, bucket) pair becomes
+    the partition key and the probe reads nprobe buckets per table instead
     of a broadcast filter."""
     q = _query_vec(sf_dir, query_id)
     dim = len(q)
     sig = _LshSig(dim, nbits, ntables)
-    q_buckets = sig.buckets_of(q[None, :])[0]  # (L,)
-    qb_ref = ray.put(q_buckets)
+    probes = _multi_probe_sets(q, sig, probe_flips)
+    qb_ref = ray.put(probes)
     q_ref = ray.put(q[None, :])
 
     def probe_filter(t: pa.Table) -> pa.Table:
-        qb = ray.get(qb_ref) if isinstance(qb_ref, ray.ObjectRef) else qb_ref
+        pr = ray.get(qb_ref) if isinstance(qb_ref, ray.ObjectRef) else qb_ref
         s = _cached(_LshSig, dim=dim, nbits=nbits, ntables=ntables)
         mat = _mat(t["embedding"])
-        hit = (s.buckets_of(mat) == qb[None, :]).any(axis=1)
+        b = s.buckets_of(mat)  # (n, L)
+        hit = np.zeros(t.num_rows, dtype=bool)
+        for l, pl in enumerate(pr):
+            hit |= np.isin(b[:, l], pl)
         return t.filter(pa.array(hit)).select(["vec_id", "embedding"])
 
     cand = _emb(sf_dir).map_batches(probe_filter, batch_format="pyarrow")

@@ -34,7 +34,25 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump to invalidate all cached goldens when any evaluator changes
-GOLDEN_VERSION = 2
+GOLDEN_VERSION = 3
+
+
+def _multi_probe_buckets(proj_l: np.ndarray, w: np.ndarray,
+                         flips: int) -> list[int]:
+    """Spec-level multi-probe set for one table: exact bucket + every flip
+    combination of the ``flips`` lowest-|projection| bits."""
+    import itertools
+
+    qb = int((proj_l > 0).astype(np.int64) @ w)
+    probes = {qb}
+    low = np.argsort(np.abs(proj_l))[:flips]
+    for r in range(1, flips + 1):
+        for combo in itertools.combinations(low, r):
+            pb = qb
+            for bit in combo:
+                pb ^= int(w[bit])
+            probes.add(pb)
+    return sorted(probes)
 
 _ROOT = f"/tmp/edgar_ray_tier_goldens_v{GOLDEN_VERSION}"
 
@@ -379,7 +397,8 @@ def _ivf_golden(sf_dir: str, query_id: int = 0, k: int = 10,
 
 
 def _ann_recall_golden(sf_dir: str, query_ids=(0, 1, 2, 3), k: int = 10,
-                       lsh_nbits: int = 6, lsh_ntables: int = 16,
+                       lsh_nbits: int = 8, lsh_ntables: int = 32,
+                       lsh_flips: int = 2,
                        ivf_nlist: int = 32, ivf_nprobe: int = 8) -> pa.Table:
     """Whole-corpus numpy twin of similarity.ann_recall: exact / LSH-probed
     / IVF-probed top-k per query, recall of each approximate set."""
@@ -407,9 +426,10 @@ def _ann_recall_golden(sf_dir: str, query_ids=(0, 1, 2, 3), k: int = 10,
             return set(ids[sel][order].tolist())
 
         exact = topk(np.ones(len(ids), bool))
-        qb = np.array([((q @ planes[l].T) > 0).astype(np.int64) @ w
-                       for l in range(lsh_ntables)])
-        lsh_mask = (vec_buckets == qb[None, :]).any(axis=1)
+        lsh_mask = np.zeros(len(ids), bool)
+        for l in range(lsh_ntables):
+            probes = _multi_probe_buckets(q @ planes[l].T, w, lsh_flips)
+            lsh_mask |= np.isin(vec_buckets[:, l], probes)
         probes = np.argsort(-(cents @ q))[:ivf_nprobe]
         ivf_mask = np.isin(assign, probes)
         for method, mask in (("lsh", lsh_mask), ("ivf", ivf_mask)):
@@ -523,14 +543,15 @@ def _ann_probe_golden(sf_dir: str, method: str, query_id: int = 0,
     q = norm[ids == query_id][0]
     cos = norm @ q
     if method == "lsh":
-        planes = np.random.default_rng(11).standard_normal((16, 6, dim))
-        w = (1 << np.arange(6)).astype(np.int64)
+        planes = np.random.default_rng(11).standard_normal((32, 8, dim))
+        w = (1 << np.arange(8)).astype(np.int64)
         vec_buckets = np.stack(
             [((raw @ planes[l].T) > 0).astype(np.int64) @ w
-             for l in range(16)], axis=1)
-        qb = np.array([((q @ planes[l].T) > 0).astype(np.int64) @ w
-                       for l in range(16)])
-        mask = (vec_buckets == qb[None, :]).any(axis=1)
+             for l in range(32)], axis=1)
+        mask = np.zeros(len(ids), bool)
+        for l in range(32):
+            probes = _multi_probe_buckets(q @ planes[l].T, w, 2)
+            mask |= np.isin(vec_buckets[:, l], probes)
     else:  # ivf
         cent_sel = ids < 32
         cents = norm[cent_sel][np.argsort(ids[cent_sel])]

@@ -89,13 +89,26 @@ def test_ann_recall_vs_brute(ray_session):
     brute = [r["vec_id"] for r in similarity.knn_brute(sf, 0, 10).take_all()]
     ann = [r["vec_id"] for r in similarity.ann_lsh(sf, 0, 10).take_all()]
     # the testdata embeddings are near-random (top-10 cosine ~0.37) — the
-    # hostile regime for any sublinear index; assert a sane floor and that
-    # the query vector itself always surfaces
+    # hostile regime for any sublinear index. The shipped multi-probe
+    # constants (nbits=8, 32 tables, 2 flip bits) were chosen by the
+    # ann_recall metric to clear 0.8 on all four queries at sf0.01/sf0.1
+    # at ~0.41 candidate fraction (NOTES.md round-5 sweep).
     assert 0 in ann
-    assert len(set(brute) & set(ann)) / 10 >= 0.2
+    assert len(set(brute) & set(ann)) / 10 >= 0.8
     ivf = [r["vec_id"] for r in similarity.ann_ivf(sf, 0, 10).take_all()]
     assert 0 in ivf
     assert len(set(brute) & set(ivf)) / 10 >= 0.5
+
+
+def test_ann_recall_lsh_clears_bar(ray_session):
+    """The shipped LSH defaults must serve a real user: recall@10 >= 0.8
+    for EVERY query of the ann_recall quality row at the driver tier."""
+    from edgar_ray.pipelines import similarity
+
+    t = similarity.ann_recall("/root/testdata/sf0.01").to_pandas()
+    lsh = t[t["method"] == "lsh"]
+    assert len(lsh) == 4
+    assert (lsh["recall"] >= 0.8).all(), lsh.to_dict("records")
 
 
 def test_fingerprint_stability(planted_dir, ray_session):
