@@ -28,6 +28,7 @@ import zlib
 from datetime import datetime, timezone
 
 import pyarrow as pa
+import ray
 
 _CRLF = b"\r\n"
 
@@ -116,35 +117,131 @@ def read_warc(paths):
         _warc_batch_to_pages, batch_format="pyarrow", batch_size=1)
 
 
+def record_bytes(url: str, html: bytes, date: str,
+                 gzip_record: bool = False) -> bytes:
+    """One minimal WARC response record (.gz = one gzip member per record,
+    the CC segment convention)."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Length: "
+            + str(len(html)).encode() + b"\r\n\r\n" + html)
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: " + url.encode() + b"\r\n"
+           b"WARC-Date: " + date.encode() + b"\r\n"
+           b"Content-Type: application/http;msgtype=response\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n")
+    rec = hdr + http + b"\r\n\r\n"
+    if gzip_record:
+        comp = zlib.compressobj(9, zlib.DEFLATED, 31)
+        rec = comp.compress(rec) + comp.flush()
+    return rec
+
+
+def _row_date(tbl: pa.Table, i: int, ts_default: str) -> str:
+    if "warc_ts" in tbl.column_names and tbl["warc_ts"][i].is_valid:
+        return tbl["warc_ts"][i].as_py().strftime("%Y-%m-%dT%H:%M:%SZ")
+    return ts_default
+
+
+def write_warc_segments(pages_ds, out_dir: str, num_segments: int = 16,
+                        gzip_records: bool = True,
+                        ts_default: str = "2024-01-01T00:00:00Z") -> pa.Table:
+    """DISTRIBUTED re-segmenter: pages Dataset (url, html[, warc_ts]) ->
+    ``num_segments`` ``.warc.gz`` files under ``out_dir``.
+
+    Deterministic assignment via the two-pass block prefix-scan (the
+    pack_shards pattern, pipelines/sampling.py): pass 1 collects per-block
+    row counts (tiny metadata — the driver never sees page bytes), an
+    exclusive scan gives every row its global input index, and segment =
+    ``global_idx * num_segments // total`` — contiguous, row-balanced
+    ranges, stable under any block arrival order. Pass 2 stamps blocks in
+    parallel; one ``groupby(segment).map_groups`` task then streams each
+    segment's records (input order restored by the global index) to its
+    file. RESUMABLE: a segment whose final file already exists is skipped
+    (files publish via tempfile + atomic rename, so a crash mid-write
+    never leaves a readable partial file). Size ``num_segments`` so one
+    segment ~1 GB (the CC convention) — the segment is the unit of read
+    parallelism for :func:`read_warc`. ``out_dir`` must be shared storage
+    on a multi-node cluster (each writer task opens it directly).
+
+    Returns a manifest table (segment, n_records, path)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    refs = pages_ds.to_arrow_refs()
+    nrows = ray.get([_block_nrows.remote(r) for r in refs])
+    total = int(sum(nrows))
+    if total == 0:
+        return pa.table({"segment": pa.array([], pa.int32()),
+                         "n_records": pa.array([], pa.int64()),
+                         "path": pa.array([], pa.string())})
+    offsets = np.r_[0, np.cumsum(nrows)[:-1]]
+    stamped = rd.from_arrow_refs(
+        [_stamp_segment.remote(r, int(off), total, num_segments)
+         for r, off in zip(refs, offsets)])
+
+    def write_seg(t: pa.Table) -> pa.Table:
+        seg = int(t["_seg"][0].as_py())
+        path = os.path.join(out_dir, f"part-{seg:05d}.warc"
+                            + (".gz" if gzip_records else ""))
+        if os.path.exists(path):  # resumable: finished segment skips
+            return pa.table({"segment": pa.array([seg], pa.int32()),
+                             "n_records": pa.array([t.num_rows], pa.int64()),
+                             "path": pa.array([path], pa.string())})
+        t = t.sort_by("_gidx")  # input order within the segment
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".warc.tmp")
+        with os.fdopen(fd, "wb") as f:
+            for i in range(t.num_rows):
+                html = t["html"][i].as_py()
+                if isinstance(html, str):
+                    html = html.encode()
+                f.write(record_bytes(t["url"][i].as_py(), html,
+                                     _row_date(t, i, ts_default),
+                                     gzip_record=gzip_records))
+        os.replace(tmp, path)
+        return pa.table({"segment": pa.array([seg], pa.int32()),
+                         "n_records": pa.array([t.num_rows], pa.int64()),
+                         "path": pa.array([path], pa.string())})
+
+    manifest = (stamped.groupby("_seg")
+                .map_groups(write_seg, batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        [b for b in ray.get(manifest.to_arrow_refs()) if b.num_rows])
+    return tbl.sort_by("segment")
+
+
+@ray.remote
+def _block_nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _stamp_segment(t: pa.Table, offset: int, total: int,
+                   num_segments: int) -> pa.Table:
+    import numpy as np
+
+    gidx = np.arange(offset, offset + t.num_rows, dtype=np.int64)
+    seg = (gidx * num_segments // total).astype(np.int32)
+    return (t.append_column("_gidx", pa.array(gidx, pa.int64()))
+            .append_column("_seg", pa.array(seg, pa.int32())))
+
+
 def write_warc(pages: pa.Table, path: str, gzip_records: bool = False,
                ts_default: str = "2024-01-01T00:00:00Z") -> str:
     """pages table (url, html[, warc_ts]) -> one minimal WARC file
     (``.gz`` = one gzip member per record, the CC segment convention)."""
     recs: list[bytes] = []
-    has_ts = "warc_ts" in pages.column_names
     for i in range(pages.num_rows):
-        url = pages["url"][i].as_py()
         html = pages["html"][i].as_py()
         if isinstance(html, str):
             html = html.encode()
-        if has_ts and pages["warc_ts"][i].is_valid:
-            dt = pages["warc_ts"][i].as_py()
-            date = dt.strftime("%Y-%m-%dT%H:%M:%SZ")
-        else:
-            date = ts_default
-        http = (b"HTTP/1.1 200 OK\r\nContent-Length: "
-                + str(len(html)).encode() + b"\r\n\r\n" + html)
-        hdr = (b"WARC/1.0\r\n"
-               b"WARC-Type: response\r\n"
-               b"WARC-Target-URI: " + url.encode() + b"\r\n"
-               b"WARC-Date: " + date.encode() + b"\r\n"
-               b"Content-Type: application/http;msgtype=response\r\n"
-               b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n")
-        rec = hdr + http + b"\r\n\r\n"
-        if gzip_records:
-            comp = zlib.compressobj(9, zlib.DEFLATED, 31)
-            rec = comp.compress(rec) + comp.flush()
-        recs.append(rec)
+        recs.append(record_bytes(pages["url"][i].as_py(), html,
+                                 _row_date(pages, i, ts_default),
+                                 gzip_record=gzip_records))
     with open(path, "wb") as f:
         f.write(b"".join(recs))
     return path

@@ -87,3 +87,52 @@ def test_crawl_over_warc_source(corpus, tmp_path, ray_session):
     assert len(facts) == len(gold)
     for c in ("ops_Revenue", "bs_Assets", "validation_error"):
         assert (facts[c].fillna(0) == gold[c].fillna(0)).all(), c
+
+
+def test_distributed_warc_sink_roundtrip(tmp_path, ray_session):
+    """write_warc_segments: pages Dataset -> N .warc.gz segments via the
+    block prefix-scan, read back through read_warc == the input, at an
+    sf0.1-scale corpus (thousands of pages). A rerun skips finished
+    segments (resumable)."""
+    import ray.data as rd
+
+    from edgar_ray.sources.synth import write_corpus
+    from edgar_ray.sources.warc import read_warc, write_warc_segments
+
+    d = os.path.join(tmp_path, "corpus")
+    paths = write_corpus(d, n_tickers=40, filings_per_type=4)
+    pages = pq.read_table(paths["pages"]).select(["url", "warc_ts", "html"])
+    n = pages.num_rows
+    assert n > 2000  # sf0.1-scale page count
+
+    out = os.path.join(tmp_path, "segments")
+    ds = rd.from_arrow(pages).repartition(8)
+    manifest = write_warc_segments(ds, out, num_segments=6)
+    assert manifest.num_rows == 6
+    assert int(pa.compute.sum(manifest["n_records"]).as_py()) == n
+    files = sorted(os.listdir(out))
+    assert files == [f"part-{s:05d}.warc.gz" for s in range(6)]
+
+    back = read_warc([os.path.join(out, f) for f in files]) \
+        .to_arrow_refs()
+    import ray as _ray
+    got = pa.concat_tables([t for t in _ray.get(back) if t.num_rows]).combine_chunks()
+    assert got.num_rows == n
+    a = {(u, h): t for u, h, t in zip(got["url"].to_pylist(),
+                                      got["html"].to_pylist(),
+                                      got["warc_ts"].to_pylist())}
+    b = {(u, (h if isinstance(h, bytes) else h.encode())): t
+         for u, h, t in zip(pages["url"].to_pylist(),
+                            pages["html"].to_pylist(),
+                            pages["warc_ts"].to_pylist())}
+    assert set(a) == set(b)
+    # timestamps round-trip at WARC's second granularity
+    for k in list(b)[:50]:
+        assert int(a[k].timestamp()) == int(b[k].timestamp())
+
+    # resumability: second run rewrites nothing (mtimes unchanged)
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in files}
+    manifest2 = write_warc_segments(ds, out, num_segments=6)
+    assert manifest2.num_rows == 6
+    assert {f: os.path.getmtime(os.path.join(out, f)) for f in files} \
+        == mtimes
