@@ -231,21 +231,26 @@ def web_seed_candidates(sites: int) -> pa.Table:
     return _frontier_table(rows)
 
 
-def gen_graph_corpus(sites: int = 4, branching: int = 2, depth: int = 7,
-                     seed: int = 42) -> dict[str, pa.Table]:
-    """Pages table (shuffled deterministically) + goldens + seeds."""
+def gen_site_pages(s: int, sites: int, branching: int, depth: int,
+                   seed: int) -> list[tuple[str, str]]:
+    """All pages of one site, in deterministic order (pure function — the
+    per-site unit the parallel generator fans out on)."""
     pages: list[tuple[str, str]] = []
-    for s in range(sites):
-        for d in range(depth):
-            for i in range(branching**d):
-                pages.append((hub_url(s, d, i),
-                              render_hub(s, d, i, sites, branching, depth)))
-        n_hubs = hub_ordinal(depth - 1, branching**(depth - 1) - 1,
-                             branching) + 1
-        for j in range(n_hubs * L_PER_HUB):
-            pages.append((doc_url(s, j), render_doc(s, j, seed)))
-        pages.append((about_url(s), render_about(s)))
+    for d in range(depth):
+        for i in range(branching**d):
+            pages.append((hub_url(s, d, i),
+                          render_hub(s, d, i, sites, branching, depth)))
+    n_hubs = hub_ordinal(depth - 1, branching**(depth - 1) - 1,
+                         branching) + 1
+    for j in range(n_hubs * L_PER_HUB):
+        pages.append((doc_url(s, j), render_doc(s, j, seed)))
+    pages.append((about_url(s), render_about(s)))
+    return pages
 
+
+def _pages_table(site_pages: list[list[tuple[str, str]]],
+                 seed: int) -> pa.Table:
+    pages = [p for sp in site_pages for p in sp]
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(pages))
     urls, htmls = [], []
@@ -253,8 +258,16 @@ def gen_graph_corpus(sites: int = 4, branching: int = 2, depth: int = 7,
         url, html = pages[idx]
         urls.append(url)
         htmls.append(html.encode())
-    pages_tbl = pa.table({"url": pa.array(urls, pa.string()),
-                          "html": pa.array(htmls, pa.binary())})
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
+def gen_graph_corpus(sites: int = 4, branching: int = 2, depth: int = 7,
+                     seed: int = 42) -> dict[str, pa.Table]:
+    """Pages table (shuffled deterministically) + goldens + seeds."""
+    pages_tbl = _pages_table(
+        [gen_site_pages(s, sites, branching, depth, seed)
+         for s in range(sites)], seed)
     out = {"pages": pages_tbl, "seeds": web_seed_candidates(sites)}
     out.update(golden_tables(sites, branching, depth, seed))
     return out
@@ -274,9 +287,32 @@ def graph_corpus_version() -> str:
 
 
 def write_graph_corpus(out_dir: str, sites: int = 4, branching: int = 2,
-                       depth: int = 7, seed: int = 42) -> dict[str, str]:
+                       depth: int = 7, seed: int = 42, goldens: bool = True,
+                       parallelism: int | None = None) -> dict[str, str]:
+    """Write the corpus. With Ray up and a large site universe, per-site
+    page generation fans out as Ray tasks (byte-identical to the serial
+    path — per-site generation is pure and assembly order is site-major
+    either way). ``goldens=False`` skips the spec evaluator (bench corpora
+    at ~10^6 pages only need pages + seeds)."""
+    import ray
+
     os.makedirs(out_dir, exist_ok=True)
-    tables = gen_graph_corpus(sites, branching, depth, seed)
+    if parallelism is None:
+        parallelism = 28 if (sites >= 16 and ray.is_initialized()) else 1
+    if parallelism > 1:
+        gen_site = ray.remote(gen_site_pages)
+        site_pages = ray.get([gen_site.remote(s, sites, branching, depth,
+                                              seed)
+                              for s in range(sites)])
+    else:
+        site_pages = [gen_site_pages(s, sites, branching, depth, seed)
+                      for s in range(sites)]
+    tables: dict[str, pa.Table] = {
+        "pages": _pages_table(site_pages, seed),
+        "seeds": web_seed_candidates(sites),
+    }
+    if goldens:
+        tables.update(golden_tables(sites, branching, depth, seed))
     paths = {}
     for name, tbl in tables.items():
         path = os.path.join(out_dir, f"{name}.parquet")
