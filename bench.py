@@ -68,8 +68,9 @@ def _graph_bench_corpus() -> tuple[str, int, int, int]:
 
     s, b, d = (int(x) for x in GRAPH_CORPUS.split("x"))
     out = f"/tmp/edgar_ray_bench_graph_{s}x{b}x{d}_{graph_corpus_version()}"
-    if not os.path.exists(os.path.join(out, "pages.parquet")):
-        write_graph_corpus(out, s, b, d, goldens=False)
+    if not os.path.isdir(os.path.join(out, "pages_by_wave")):
+        write_graph_corpus(out, s, b, d, goldens=False,
+                           partition_by_wave=True)
     return out, s, b, d
 
 
@@ -103,19 +104,29 @@ def _run_graph_bench() -> dict:
     from edgar_ray.pipelines.webgraph import web_graph
 
     corpus_dir, s, b, d = _graph_bench_corpus()
-    pages_path = os.path.join(corpus_dir, "pages.parquet")
     seeds_tbl = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
-    pages_mat = rd.read_parquet(
-        pages_path, columns=["url", "html"], override_num_blocks=128
-    ).materialize()
-    pages_mat.map_batches(lambda t: t.select(["url"]),
-                          batch_format="pyarrow").count()
+    base = os.path.join(corpus_dir, "pages_by_wave")
+
+    def pages_factory(wave=None):
+        # prune at the read (the documented 100-TB layout, exercised for
+        # real here): wave w's fetch scans ONLY its partition — per-wave
+        # cost tracks wave size instead of rescanning the whole corpus
+        # every wave (see sources/synth_graph.page_fetch_wave for why the
+        # assignment is exact). wave=None = the robots scan (wave-0 dir).
+        dd = os.path.join(base, f"wave={0 if wave is None else int(wave)}")
+        if not os.path.isdir(dd):
+            dd = os.path.join(base, "wave=0")
+        return rd.read_parquet(dd, columns=["url", "html"])
+
+    # warm the Ray Data execution paths (worker startup + sort-shuffle)
+    pages_factory(0).map_batches(lambda t: t.select(["url"]),
+                                 batch_format="pyarrow").count()
     rd.range(1000, override_num_blocks=4).groupby("id").count().count()
 
     t0 = time.monotonic()
-    res = crawl(pages_path, None, graph=web_graph(),
+    res = crawl(None, None, graph=web_graph(),
                 seed_candidates=seeds_tbl,
-                pages_ds_factory=lambda: pages_mat, num_shards=8,
+                pages_ds_factory=pages_factory, num_shards=8,
                 capacity=1 << 22, consume_facts=True, collect_order=False)
     n_facts = res.filings_facts.count()
     crawl_sec = time.monotonic() - t0

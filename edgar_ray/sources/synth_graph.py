@@ -273,6 +273,37 @@ def gen_graph_corpus(sites: int = 4, branching: int = 2, depth: int = 7,
     return out
 
 
+def page_fetch_wave(url: str, branching: int) -> int:
+    """The (unique) wave at which a page is first admitted — the partition
+    key of the wave-partitioned pages layout (prune-at-the-read: wave w's
+    fetch scans ONLY its partition instead of the whole corpus).
+
+    Safe by construction: a hub (s,d,i) is first discovered by its parent
+    at wave d; a doc j is first discovered by its OWNING hub (ordinal
+    j // L) at that hub's depth + 1 — every cross-site link to doc j comes
+    from a hub at depth d > d_local(j) (the link rule uses j = i < B^d, so
+    ord = j // L < B^(d-1) hence d_local <= d-1), arrives at a LATER wave,
+    and is always a seen-set dedup hit; /about.html is first linked by the
+    depth-0 hub (wave 1). Dangling links have no page at all."""
+    m = _RE_PFW_HUB.search(url)
+    if m:
+        return int(m.group(1))
+    m = _RE_PFW_DOC.search(url)
+    if m:
+        ordn = int(m.group(1)) // L_PER_HUB
+        d = 0
+        while hub_ordinal(d + 1, 0, branching) <= ordn:
+            d += 1
+        return d + 1
+    return 1  # /about.html
+
+
+import re as _re
+
+_RE_PFW_HUB = _re.compile(r"/hub/(\d+)/(\d+)\.html$")
+_RE_PFW_DOC = _re.compile(r"/doc/(\d+)\.html$")
+
+
 def graph_corpus_version() -> str:
     """Content hash of this generator + the webgraph pipeline module (the
     parser/extractor whose semantics the goldens cross-check), so cached
@@ -288,7 +319,8 @@ def graph_corpus_version() -> str:
 
 def write_graph_corpus(out_dir: str, sites: int = 4, branching: int = 2,
                        depth: int = 7, seed: int = 42, goldens: bool = True,
-                       parallelism: int | None = None) -> dict[str, str]:
+                       parallelism: int | None = None,
+                       partition_by_wave: bool = False) -> dict[str, str]:
     """Write the corpus. With Ray up and a large site universe, per-site
     page generation fans out as Ray tasks (byte-identical to the serial
     path — per-site generation is pure and assembly order is site-major
@@ -319,4 +351,21 @@ def write_graph_corpus(out_dir: str, sites: int = 4, branching: int = 2,
         rgs = 2048 if name == "pages" else 64 * 1024
         pq.write_table(tbl, path, row_group_size=rgs)
         paths[name] = path
+    if partition_by_wave:
+        # wave-partitioned layout (the prune-at-the-read scale path: see
+        # page_fetch_wave): pages/wave={w}/part.parquet, byte-identical
+        # rows to the flat table
+        pages = tables["pages"]
+        waves = np.fromiter(
+            (page_fetch_wave(u, branching)
+             for u in pages["url"].to_pylist()), np.int32,
+            count=pages.num_rows)
+        base = os.path.join(out_dir, "pages_by_wave")
+        for w in np.unique(waves):
+            d_ = os.path.join(base, f"wave={int(w)}")
+            os.makedirs(d_, exist_ok=True)
+            part = pages.filter(pa.array(waves == w))
+            pq.write_table(part, os.path.join(d_, "part-0.parquet"),
+                           row_group_size=2048)
+        paths["pages_by_wave"] = base
     return paths

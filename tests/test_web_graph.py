@@ -124,3 +124,41 @@ def test_join_regime_matches_broadcast(crawl_result, corpus_dir):
     a = res.filings_facts.to_pandas().sort_values("ticker")
     b = crawl_result.filings_facts.to_pandas().sort_values("ticker")
     assert a["total_value_cents"].tolist() == b["total_value_cents"].tolist()
+
+
+def test_wave_partitioned_source_matches_golden(corpus_dir, tmp_path,
+                                                ray_session):
+    """The prune-at-the-read layout (pages partitioned by fetch wave) must
+    yield the exact golden crawl: page_fetch_wave's uniqueness argument is
+    what this checks end-to-end (a mis-partitioned page would fetch-miss
+    and drop facts or order rows)."""
+    import ray.data as rd
+
+    from edgar_ray.sources.synth_graph import write_graph_corpus
+
+    d = str(tmp_path / "part")
+    paths = write_graph_corpus(d, SITES, BRANCHING, DEPTH,
+                               partition_by_wave=True)
+    base = paths["pages_by_wave"]
+
+    def factory(wave=None):
+        dd = os.path.join(base, f"wave={0 if wave is None else int(wave)}")
+        if not os.path.isdir(dd):
+            dd = os.path.join(base, "wave=0")
+        return rd.read_parquet(dd, columns=["url", "html"])
+
+    res = crawl(None, None, graph=web_graph(),
+                seed_candidates=web_seed_candidates(SITES),
+                pages_ds_factory=factory, num_shards=2)
+    golden = pq.read_table(os.path.join(corpus_dir,
+                                        "crawl_order_golden.parquet"))
+    got = res.crawl_order.select(["seq", "wave", "url"]).sort_by("seq")
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    assert got["wave"].to_pylist() == golden["wave"].to_pylist()
+    stats = pq.read_table(os.path.join(corpus_dir,
+                                       "site_stats_golden.parquet"))
+    f = res.filings_facts.to_pandas().sort_values("ticker") \
+        .reset_index(drop=True)
+    assert f["total_value_cents"].tolist() == \
+        stats["total_value_cents"].to_pylist()
+    assert f["n_docs"].tolist() == stats["n_docs"].to_pylist()
