@@ -66,11 +66,14 @@ def _graph_bench_corpus() -> tuple[str, int, int, int]:
         write_graph_corpus,
     )
 
-    s, b, d = (int(x) for x in GRAPH_CORPUS.split("x"))
-    out = f"/tmp/edgar_ray_bench_graph_{s}x{b}x{d}_{graph_corpus_version()}"
+    parts = [int(x) for x in GRAPH_CORPUS.split("x")]
+    s, b, d = parts[:3]
+    w = parts[3] if len(parts) > 3 else 1  # leaf words multiplier
+    out = (f"/tmp/edgar_ray_bench_graph_{s}x{b}x{d}x{w}_"
+           f"{graph_corpus_version()}")
     if not os.path.isdir(os.path.join(out, "pages_by_wave")):
         write_graph_corpus(out, s, b, d, goldens=False,
-                           partition_by_wave=True)
+                           partition_by_wave=True, words_mult=w)
     return out, s, b, d
 
 

@@ -314,6 +314,36 @@ def _collect_table(ds) -> pa.Table:
 
 
 @ray.remote
+def _split_kind_block(t: pa.Table, kind: int, cols: list[str],
+                      empty: pa.Table) -> pa.Table:
+    """Per-block outbox split (bare task, not a Dataset plan: a mixed wave
+    would otherwise pay 2 extra plan-launch constants per wave — measured
+    ~0.5 s each on deep crawls where waves are orchestration-bound).
+    ``empty`` is the schema template for pass-through empty blocks the
+    executor may retain from BEFORE the dispatch map (join-regime fetches
+    emit them with the join schema, which has no ``_kind``)."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0 or "_kind" not in t.column_names:
+        return empty
+    return t.filter(pc.equal(t["_kind"], kind)).select(cols)
+
+
+@ray.remote
+def _concat_blocks(*tbls: pa.Table) -> pa.Table:
+    return pa.concat_tables(tbls).combine_chunks()
+
+
+@ray.remote
+def _sum_int_col(t: pa.Table, col: str) -> int:
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0 or col not in t.column_names:
+        return 0
+    return int(pc.sum(t[col]).as_py() or 0)
+
+
+@ray.remote
 def _count_terminal(tbl: pa.Table, term_list: list[str]) -> int:
     """Block-parallel terminal-row count for join-regime waves (the driver
     never touches the admitted metadata itself in that regime)."""
@@ -381,7 +411,6 @@ def crawl(
         edgar_graph,
         empty_pages_batch,
         make_dispatch,
-        take_kind,
         with_page_class,
     )
 
@@ -700,30 +729,47 @@ def crawl(
         t_stage = time.monotonic()
         outbox = fetched.map_batches(
             dispatch, batch_format="pyarrow").materialize()
+        facts_refs = None
         if mode == "cand":
             cand_next, facts_w = outbox, None
         elif mode == "facts":
             cand_next, facts_w = None, outbox
+            facts_refs = outbox.to_arrow_refs()
         else:
-            cand_next = outbox.map_batches(
-                take_kind(KIND_CANDIDATE, cand_cols),
-                batch_format="pyarrow").materialize()
-            # coalesce each mixed wave's facts partials while they are
-            # metadata-sized: the post-loop union otherwise accumulates
-            # one tiny block per fetch block PER WAVE, and deep crawls pay
-            # a per-block constant across the whole merge plan (measured:
-            # 13-wave 1M-page corpus merge 11 s -> ~3 s with coalesce)
-            facts_w = outbox.map_batches(
-                take_kind(KIND_FACTS, facts_cols),
-                batch_format="pyarrow").repartition(8).materialize()
+            # split the materialized outbox with BARE block tasks instead
+            # of two more Dataset plans (plan-launch constants dominate
+            # deep-crawl waves), and coalesce each wave's metadata-sized
+            # facts partials to a few blocks so the post-loop union never
+            # accumulates one tiny block per fetch block per wave
+            # (measured: 13-wave merge 61 s -> 2 s with flat-union +
+            # coalesce; split-as-plans cost a further ~1 s/wave)
+            refs = outbox.to_arrow_refs()
+            cand_empty = pa.table(
+                {n: pa.array([], t) for n, t in cand_fields})
+            facts_empty = probe.slice(0, 0)
+            cand_next = rd.from_arrow_refs(
+                [_split_kind_block.remote(r, KIND_CANDIDATE, cand_cols,
+                                          cand_empty)
+                 for r in refs])
+            fr = [_split_kind_block.remote(r, KIND_FACTS, facts_cols,
+                                           facts_empty)
+                  for r in refs]
+            nb = min(8, len(fr))
+            facts_refs = [_concat_blocks.remote(*fr[i::nb])
+                          for i in range(nb)]
+            facts_w = rd.from_arrow_refs(facts_refs)
         extract_s = time.monotonic() - t_stage
         pages_ok = pages_err = 0
         if facts_w is not None:
             last_term_wave = wave
             # fetch accounting (lineage: pages_ok/pages_err): each partial
             # carries how many page rows it collapsed; admitted urls absent
-            # from the pages table are fetch failures (404s of the stand-in)
-            pages_ok = int(facts_w.sum("pages_in_partial") or 0)
+            # from the pages table are fetch failures (404s of the stand-in).
+            # Block-parallel task sum — not Dataset.sum, which is one more
+            # plan launch per terminal wave.
+            pages_ok = sum(ray.get(
+                [_sum_int_col.remote(r, "pages_in_partial")
+                 for r in facts_refs]))
             pages_err = int(n_term - skipped_pages) - pages_ok
             if facts_dir:
                 # facts checkpoint: the compact parsed form lands

@@ -70,11 +70,15 @@ def hub_ordinal(d: int, i: int, branching: int) -> int:
     return (branching**d - 1) // (branching - 1) + i
 
 
-def doc_spec(s: int, j: int, seed: int) -> tuple[int, int]:
-    """(value_cents, n_words) for doc (s, j) — pure function of the key."""
+def doc_spec(s: int, j: int, seed: int,
+             words_mult: int = 1) -> tuple[int, int]:
+    """(value_cents, n_words) for doc (s, j) — pure function of the key.
+    ``words_mult`` scales doc weight (bench corpora use it to move wave
+    cost from per-wave constants to real per-page bytes; goldens default
+    to 1)."""
     h = int.from_bytes(
         hashlib.sha1(f"doc|{seed}|{s}|{j}".encode()).digest()[:8], "big")
-    return h % 10_000_000, 5 + (h >> 32) % 60
+    return h % 10_000_000, (5 + (h >> 32) % 60) * max(1, words_mult)
 
 
 def hub_links(s: int, d: int, i: int, sites: int, branching: int,
@@ -116,8 +120,8 @@ def render_hub(s: int, d: int, i: int, sites: int, branching: int,
             "</body></html>\n")
 
 
-def render_doc(s: int, j: int, seed: int) -> str:
-    value_cents, n_words = doc_spec(s, j, seed)
+def render_doc(s: int, j: int, seed: int, words_mult: int = 1) -> str:
+    value_cents, n_words = doc_spec(s, j, seed, words_mult)
     words = " ".join(f"tok{(j + k) % 997}" for k in range(n_words))
     return (f'<html><head><meta name="value-cents" '
             f'content="{value_cents}"></head>\n'
@@ -232,7 +236,7 @@ def web_seed_candidates(sites: int) -> pa.Table:
 
 
 def gen_site_pages(s: int, sites: int, branching: int, depth: int,
-                   seed: int) -> list[tuple[str, str]]:
+                   seed: int, words_mult: int = 1) -> list[tuple[str, str]]:
     """All pages of one site, in deterministic order (pure function — the
     per-site unit the parallel generator fans out on)."""
     pages: list[tuple[str, str]] = []
@@ -243,7 +247,7 @@ def gen_site_pages(s: int, sites: int, branching: int, depth: int,
     n_hubs = hub_ordinal(depth - 1, branching**(depth - 1) - 1,
                          branching) + 1
     for j in range(n_hubs * L_PER_HUB):
-        pages.append((doc_url(s, j), render_doc(s, j, seed)))
+        pages.append((doc_url(s, j), render_doc(s, j, seed, words_mult)))
     pages.append((about_url(s), render_about(s)))
     return pages
 
@@ -320,7 +324,8 @@ def graph_corpus_version() -> str:
 def write_graph_corpus(out_dir: str, sites: int = 4, branching: int = 2,
                        depth: int = 7, seed: int = 42, goldens: bool = True,
                        parallelism: int | None = None,
-                       partition_by_wave: bool = False) -> dict[str, str]:
+                       partition_by_wave: bool = False,
+                       words_mult: int = 1) -> dict[str, str]:
     """Write the corpus. With Ray up and a large site universe, per-site
     page generation fans out as Ray tasks (byte-identical to the serial
     path — per-site generation is pure and assembly order is site-major
@@ -334,10 +339,11 @@ def write_graph_corpus(out_dir: str, sites: int = 4, branching: int = 2,
     if parallelism > 1:
         gen_site = ray.remote(gen_site_pages)
         site_pages = ray.get([gen_site.remote(s, sites, branching, depth,
-                                              seed)
+                                              seed, words_mult)
                               for s in range(sites)])
     else:
-        site_pages = [gen_site_pages(s, sites, branching, depth, seed)
+        site_pages = [gen_site_pages(s, sites, branching, depth, seed,
+                                     words_mult)
                       for s in range(sites)]
     tables: dict[str, pa.Table] = {
         "pages": _pages_table(site_pages, seed),
@@ -365,7 +371,16 @@ def write_graph_corpus(out_dir: str, sites: int = 4, branching: int = 2,
             d_ = os.path.join(base, f"wave={int(w)}")
             os.makedirs(d_, exist_ok=True)
             part = pages.filter(pa.array(waves == w))
-            pq.write_table(part, os.path.join(d_, "part-0.parquet"),
-                           row_group_size=2048)
+            # MANY files per wave: the file is Ray Data's default unit of
+            # read parallelism — a single-file partition reads as ~one
+            # block and the whole wave's fetch+parse runs near-serial
+            # (measured: 8-CPU == 32-CPU wall on the heavy deep corpus)
+            n_files = max(1, min(64, part.num_rows // 4096))
+            step = -(-part.num_rows // n_files)
+            for f_i, lo in enumerate(range(0, part.num_rows, step)):
+                pq.write_table(
+                    part.slice(lo, step),
+                    os.path.join(d_, f"part-{f_i:03d}.parquet"),
+                    row_group_size=2048)
         paths["pages_by_wave"] = base
     return paths
