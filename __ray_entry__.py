@@ -54,12 +54,23 @@ def _graph_corpus_dir() -> str:
 
 def _graph_corpus() -> str:
     """Deep (8-wave) link-graph corpus for the depth-N crawl rows; cached
-    by content hash of the generator + webgraph pipeline modules."""
+    by content hash of the generator + webgraph pipeline modules. Built in
+    a private temp dir and published with one atomic rename so concurrent
+    drivers/test workers can never observe a half-written corpus."""
     from edgar_ray.sources.synth_graph import write_graph_corpus
 
     d = _graph_corpus_dir()
-    if not os.path.exists(os.path.join(d, "crawl_order_golden.parquet")):
-        write_graph_corpus(d, sites=4, branching=2, depth=7)
+    if not os.path.isdir(d):
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(d) or "/tmp",
+                               prefix=os.path.basename(d) + ".")
+        write_graph_corpus(tmp, sites=4, branching=2, depth=7)
+        try:
+            os.rename(tmp, d)
+        except OSError:  # a concurrent builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 
