@@ -162,3 +162,64 @@ def test_wave_partitioned_source_matches_golden(corpus_dir, tmp_path,
     assert f["total_value_cents"].tolist() == \
         stats["total_value_cents"].to_pylist()
     assert f["n_docs"].tolist() == stats["n_docs"].to_pylist()
+
+
+def test_deep_crawl_live_transport(corpus_dir, ray_session):
+    """The depth-8 frontier loop over the injectable live-HTTP transport:
+    fetcher-side retries/politeness with the GENERAL graph (the loopback
+    e2e covers the EDGAR graph; this pins the live path's generality).
+    Hosts publish no robots.txt — the transport 404 (KeyError) must
+    disable rules per host, not fail the crawl."""
+    from edgar_ray.stages.fetch_http import DictTransport, FakeClock
+
+    full = pq.read_table(os.path.join(corpus_dir, "pages.parquet"))
+    pages = {u: (h if isinstance(h, bytes) else h.encode())
+             for u, h in zip(full["url"].to_pylist(),
+                             full["html"].to_pylist())}
+    clock = FakeClock()
+    res = crawl(None, None, graph=web_graph(),
+                seed_candidates=web_seed_candidates(SITES), num_shards=2,
+                live_transport=DictTransport(pages, clock=clock),
+                live_clock=clock)
+    golden = pq.read_table(os.path.join(corpus_dir,
+                                        "crawl_order_golden.parquet"))
+    got = res.crawl_order.select(["seq", "url"]).sort_by("seq")
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    stats = pq.read_table(os.path.join(corpus_dir,
+                                       "site_stats_golden.parquet"))
+    f = res.filings_facts.to_pandas().sort_values("ticker") \
+        .reset_index(drop=True)
+    assert f["total_value_cents"].tolist() == \
+        stats["total_value_cents"].to_pylist()
+
+
+def test_deep_crawl_over_warc_segments(corpus_dir, tmp_path, ray_session):
+    """End-to-end composition of the round-5 pieces: deep pages ->
+    distributed WARC segmenter -> read_warc source -> depth-8 frontier
+    crawl == the spec goldens (CC-native ingest of a general web graph)."""
+    import ray.data as rd
+
+    from edgar_ray.sources.warc import read_warc, write_warc_segments
+
+    pages_tbl = pq.read_table(os.path.join(corpus_dir, "pages.parquet"))
+    out = os.path.join(tmp_path, "segs")
+    write_warc_segments(rd.from_arrow(pages_tbl).repartition(4), out,
+                        num_segments=4)
+    files = sorted(os.path.join(out, f) for f in os.listdir(out))
+    warc_ds = read_warc(files).map_batches(
+        lambda t: t.select(["url", "html"]),
+        batch_format="pyarrow").materialize()
+    res = crawl(None, None, graph=web_graph(),
+                seed_candidates=web_seed_candidates(SITES),
+                pages_ds_factory=lambda: warc_ds, num_shards=2)
+    golden = pq.read_table(os.path.join(corpus_dir,
+                                        "crawl_order_golden.parquet"))
+    got = res.crawl_order.select(["seq", "url"]).sort_by("seq")
+    assert got["url"].to_pylist() == golden["url"].to_pylist()
+    stats = pq.read_table(os.path.join(corpus_dir,
+                                       "site_stats_golden.parquet"))
+    f = res.filings_facts.to_pandas().sort_values("ticker") \
+        .reset_index(drop=True)
+    assert f["n_docs"].tolist() == stats["n_docs"].to_pylist()
+    assert f["total_value_cents"].tolist() == \
+        stats["total_value_cents"].to_pylist()
