@@ -373,6 +373,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint_full": text.fingerprints,
         "text_repetition": text.repetition_signals,
         "text_compression_ratio": text.compression_ratio,
+        "text_normalize": text.normalize_text,
+        "curation_source_filter": sampling.source_filter,
         "text_vocabulary": text.vocabulary,
         "text_pii_scrub": text.pii_scrub,
         # dataset curation (split / sample / profile / leakage / mixing)
@@ -1009,6 +1011,17 @@ def _oracle_sql_all() -> dict[str, str]:
             LIMIT 200
         """,
         "text_pii_scrub": _PII_ORACLE_SQL,
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "curation_source_filter": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source IN ('src1', 'src3', 'src5', 'src7',
+                             'src11', 'src13')
+        """,
         "multimodal_frame_meta": """
             WITH v AS (
               SELECT doc_id AS item_id,

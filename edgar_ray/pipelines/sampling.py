@@ -418,3 +418,27 @@ def pack_shards(sf_dir: str, budget: int = 4096, n_buckets: int = 256):
 
     return keyed_ds.groupby("bucket").map_groups(pack,
                                                  batch_format="pyarrow")
+
+
+def source_filter(sf_dir: str,
+                  allow: tuple[str, ...] = ("src1", "src3", "src5", "src7",
+                                            "src11", "src13")):
+    """Source/domain allowlist filter — the curation gate every production
+    corpus applies first (licensing, quality tiers, domain blocklists).
+    The list broadcasts as an Arrow value_set; the filter is one zero-copy
+    ``is_in`` per batch (at 10^10 rows with a large list, swap the
+    value_set for a shared sorted-hash array — same shape as the crawl's
+    broadcast fetch keys)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    allow_arr = pa.array(sorted(allow))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["source"], value_set=allow_arr))
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    ).map_batches(keep, batch_format="pyarrow")

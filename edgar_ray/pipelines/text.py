@@ -808,3 +808,42 @@ def pii_scrub(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         scrub, batch_format="pyarrow")
+
+
+def normalize_text(sf_dir: str):
+    """Canonical text normalization (the first stage of most LLM data
+    recipes): Unicode NFC, lowercase, collapse whitespace runs to single
+    spaces, trim. Arrow-native hot path — ``utf8_lower`` +
+    ``replace_substring_regex`` + ``utf8_trim`` are C kernels; the NFC
+    step detects pure-ASCII batches with one vectorized byte scan (NFC is
+    the identity there — the common web-text case) and falls back to
+    per-row ``unicodedata.normalize`` ONLY for rows that actually carry
+    non-ASCII bytes. Oracle twin: DuckDB ``nfc_normalize`` + ``lower`` +
+    RE2 ``regexp_replace`` (both sides are RE2, so ``\\s`` agrees)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, starts, ends = _utf8_buffers(col)
+        if len(data) and (data >= 0x80).any():
+            # NFC only where needed: per-doc non-ASCII mask via one
+            # searchsorted over the non-ASCII byte positions
+            nz = np.nonzero(data >= 0x80)[0]
+            has = (np.searchsorted(nz, ends) - np.searchsorted(nz, starts)
+                   ) > 0
+            if has.any():
+                vals = col.to_pylist()
+                for i in np.nonzero(has)[0]:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+                col = pa.array(vals, pa.string())
+        col = pc.utf8_lower(col)
+        col = pc.replace_substring_regex(col, r"\s+", " ")
+        col = pc.utf8_trim(col, characters=" ")
+        return pa.table({"doc_id": t["doc_id"], "norm_text": col})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow")

@@ -746,3 +746,35 @@ def test_compression_ratio_orders_repetition(tmp_path, ray_session):
     out2 = compression_ratio(str(tmp_path)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert (out["compressed_bytes"] == out2["compressed_bytes"]).all()
+
+
+def test_normalize_text_nfc_branch(tmp_path, ray_session):
+    """The shipped corpora are ASCII, so the oracle never exercises NFC;
+    plant decomposed/composed pairs and non-ASCII whitespace and compare
+    against the scalar spec (unicodedata + lower + RE2-equivalent)."""
+    import re
+    import unicodedata
+
+    import pyarrow.parquet as pq2
+
+    from edgar_ray.pipelines.text import normalize_text
+
+    texts = ["Café  DELUXE", "café deluxe", "  A\tB\nC  ",
+             "ASCII only  here", "", "MIXéd́ CaSe",
+             "nbsp stays"]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq2.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"))
+    got = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(str(d)).take_all()}
+    for i, s in enumerate(texts):
+        # RE2 \s is ASCII-only (both the Arrow kernel and the DuckDB twin
+        # are RE2) — the scalar spec must match that, so NBSP survives
+        want = re.sub(r"[ \t\n\r\f\v]+", " ",
+                      unicodedata.normalize("NFC", s).lower()).strip(" ")
+        assert got[i] == want, (i, got[i], want)
+    # composed == decomposed after NFC
+    assert got[0] == got[1]
