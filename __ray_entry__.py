@@ -32,12 +32,23 @@ def _corpus_dir() -> str:
 
 
 def _corpus(n_tickers: int = 4, filings: int = 3) -> dict[str, str]:
+    """EDGAR synthetic corpus, cached by content hash; built in a private
+    temp dir and published atomically (the old in-place build could let a
+    concurrent process read a half-written corpus past the marker file)."""
     from edgar_ray.sources.synth import write_corpus
 
     d = _corpus_dir()
-    marker = os.path.join(d, "crawl_order_golden.parquet")
-    if not os.path.exists(marker):
-        write_corpus(d, n_tickers, filings)
+    if not os.path.isdir(d):
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(d) or "/tmp",
+                               prefix=os.path.basename(d) + ".")
+        write_corpus(tmp, n_tickers, filings)
+        try:
+            os.rename(tmp, d)
+        except OSError:  # a concurrent builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
     return {name: os.path.join(d, f"{name}.parquet")
             for name in ("pages", "seed_tickers", "filings_golden",
                          "crawl_order_golden")}
