@@ -142,8 +142,10 @@ def _row_date(tbl: pa.Table, i: int, ts_default: str) -> str:
     return ts_default
 
 
-def write_warc_segments(pages_ds, out_dir: str, num_segments: int = 16,
+def write_warc_segments(pages_ds, out_dir: str,
+                        num_segments: int | None = 16,
                         gzip_records: bool = True,
+                        target_segment_bytes: int = 1 << 30,
                         ts_default: str = "2024-01-01T00:00:00Z") -> pa.Table:
     """DISTRIBUTED re-segmenter: pages Dataset (url, html[, warc_ts]) ->
     ``num_segments`` ``.warc.gz`` files under ``out_dir``.
@@ -163,6 +165,11 @@ def write_warc_segments(pages_ds, out_dir: str, num_segments: int = 16,
     parallelism for :func:`read_warc`. ``out_dir`` must be shared storage
     on a multi-node cluster (each writer task opens it directly).
 
+    ``num_segments=None`` auto-sizes from the same pass-1 metadata: one
+    segment per ``target_segment_bytes`` of raw page payload (the CC
+    ~1 GB convention; compression ratio is payload-dependent, so the
+    target is pre-gzip bytes).
+
     Returns a manifest table (segment, n_records, path)."""
     import os
     import tempfile
@@ -173,8 +180,12 @@ def write_warc_segments(pages_ds, out_dir: str, num_segments: int = 16,
 
     os.makedirs(out_dir, exist_ok=True)
     refs = pages_ds.to_arrow_refs()
-    nrows = ray.get([_block_nrows.remote(r) for r in refs])
+    meta = ray.get([_block_meta.remote(r) for r in refs])
+    nrows = [n for n, _ in meta]
     total = int(sum(nrows))
+    if num_segments is None:
+        total_bytes = int(sum(b for _, b in meta))
+        num_segments = max(1, -(-total_bytes // target_segment_bytes))
     if total == 0:
         return pa.table({"segment": pa.array([], pa.int32()),
                          "n_records": pa.array([], pa.int64()),
@@ -215,8 +226,15 @@ def write_warc_segments(pages_ds, out_dir: str, num_segments: int = 16,
 
 
 @ray.remote
-def _block_nrows(t: pa.Table) -> int:
-    return t.num_rows
+def _block_meta(t: pa.Table) -> tuple[int, int]:
+    """(rows, raw html payload bytes) — pass-1 metadata for segment count
+    and the prefix scan."""
+    nbytes = 0
+    if t.num_rows and "html" in t.column_names:
+        col = t["html"].combine_chunks() if isinstance(
+            t["html"], pa.ChunkedArray) else t["html"]
+        nbytes = col.nbytes
+    return t.num_rows, int(nbytes)
 
 
 @ray.remote

@@ -136,3 +136,22 @@ def test_distributed_warc_sink_roundtrip(tmp_path, ray_session):
     assert manifest2.num_rows == 6
     assert {f: os.path.getmtime(os.path.join(out, f)) for f in files} \
         == mtimes
+
+
+def test_warc_sink_auto_segments(tmp_path, ray_session):
+    """num_segments=None sizes segments from pass-1 payload bytes."""
+    import ray.data as rd
+
+    from edgar_ray.sources.warc import write_warc_segments
+
+    pages = pa.table({
+        "url": pa.array([f"https://x.test/{i}" for i in range(100)]),
+        "html": pa.array([b"a" * 10_000] * 100, pa.binary()),
+    })
+    out = os.path.join(tmp_path, "auto")
+    # 1 MB payload, 300 KB target -> ceil(1e6 / 3e5) = 4 segments
+    m = write_warc_segments(rd.from_arrow(pages).repartition(5), out,
+                            num_segments=None,
+                            target_segment_bytes=300_000)
+    assert m.num_rows == 4
+    assert int(pa.compute.sum(m["n_records"]).as_py()) == 100

@@ -223,3 +223,15 @@ def test_deep_crawl_over_warc_segments(corpus_dir, tmp_path, ray_session):
     assert f["n_docs"].tolist() == stats["n_docs"].to_pylist()
     assert f["total_value_cents"].tolist() == \
         stats["total_value_cents"].to_pylist()
+
+
+def test_deep_crawl_politeness_spacing(crawl_result):
+    """Host-global politeness holds through the general loop: per host,
+    consecutive scheduled_at slots are spaced >= 1/host_budget across ALL
+    waves (the budget is the crawl() default here)."""
+    df = crawl_result.crawl_order.select(
+        ["host", "scheduled_at"]).to_pandas()
+    step = 1.0 / 1000.0  # crawl() default host_budget
+    for host, g in df.groupby("host"):
+        s = g["scheduled_at"].sort_values().to_numpy()
+        assert (s[1:] - s[:-1] >= step - 1e-9).all(), host
