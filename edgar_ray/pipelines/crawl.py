@@ -344,15 +344,20 @@ def _sum_int_col(t: pa.Table, col: str) -> int:
 
 
 @ray.remote
-def _count_terminal(tbl: pa.Table, term_list: list[str]) -> int:
-    """Block-parallel terminal-row count for join-regime waves (the driver
-    never touches the admitted metadata itself in that regime)."""
+def _count_classes(tbl: pa.Table, term_list: list[str],
+                   known_list: list[str]) -> tuple[int, int]:
+    """Block-parallel (terminal rows, dead-end rows) count for join-regime
+    waves (the driver never touches the admitted metadata itself there).
+    Dead end = a class with no parser that is not terminal."""
     import pyarrow.compute as pc
 
     if tbl.num_rows == 0 or "page_class" not in tbl.column_names:
-        return 0
-    return int(pc.sum(pc.is_in(tbl["page_class"],
-                               value_set=pa.array(term_list))).as_py() or 0)
+        return 0, 0
+    n_term = int(pc.sum(pc.is_in(
+        tbl["page_class"], value_set=pa.array(term_list))).as_py() or 0)
+    n_known = int(pc.sum(pc.is_in(
+        tbl["page_class"], value_set=pa.array(known_list))).as_py() or 0)
+    return n_term, tbl.num_rows - n_known
 
 
 def crawl(
@@ -555,6 +560,9 @@ def crawl(
     stamped_by_wave: dict[int, list] = {}
     term_list = sorted(graph.terminal)
     term_arr = pa.array(term_list)
+    known_list = sorted(set(term_list) | set(graph.parsers))
+    known_arr = pa.array(known_list)
+    dead_end_pages = 0
     wave = start_wave
     while candidates is not None and (max_waves is None or wave < max_waves):
         # resumed candidates from a pre-graph checkpoint (or hand-built
@@ -623,9 +631,15 @@ def crawl(
                 admitted = with_page_class(admitted, graph.classify)
             tmask = pc.is_in(admitted["page_class"], value_set=term_arr)
             n_term = int(pc.sum(tmask).as_py() or 0)
+            n_known = int(pc.sum(pc.is_in(admitted["page_class"],
+                                          value_set=known_arr)).as_py() or 0)
+            dead_end_pages += n_admitted - n_known
         else:
-            n_term = sum(ray.get([_count_terminal.remote(r, term_list)
-                                  for r in sorted_refs]))
+            counts = ray.get([_count_classes.remote(r, term_list,
+                                                    known_list)
+                              for r in sorted_refs])
+            n_term = sum(c[0] for c in counts)
+            dead_end_pages += sum(c[1] for c in counts)
         n_expand = n_admitted - n_term
         mode = ("mixed" if (n_term and n_expand)
                 else ("facts" if n_term else "cand"))
@@ -932,6 +946,7 @@ def crawl(
         "seen_set_overflow": sum(r.get("seen_set_overflow") or 0 for r in lrows),
         "seen_set_reshards": sum(r.get("seen_set_reshards") or 0 for r in lrows),
         "setup_s": round(setup_s, 3),
+        "dead_end_pages": int(dead_end_pages),
         "waves_run": len([w for w in wave_timings if isinstance(w, int)]),
         "wave_timings": wave_timings,
     }

@@ -235,3 +235,9 @@ def test_deep_crawl_politeness_spacing(crawl_result):
     for host, g in df.groupby("host"):
         s = g["scheduled_at"].sort_values().to_numpy()
         assert (s[1:] - s[:-1] >= step - 1e-9).all(), host
+
+
+def test_dead_end_pages_metric(crawl_result):
+    """/about.html is fetched then dead-ends (no parser, not terminal):
+    exactly one per site, counted in crawl metrics."""
+    assert crawl_result.metrics["dead_end_pages"] == SITES
