@@ -221,6 +221,44 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         return read_warc(seg).map_batches(recompute_text,
                                           batch_format="pyarrow")
 
+    def source_wet_docs(sf):
+        """WET ingest edge (Common Crawl's extracted-text sibling of WARC):
+        the tier's documents re-shard as a multi-member-gzip WET segment of
+        conversion records, read back through sources/warc.read_wet — the
+        DuckDB twin reads the documents table directly, so the value-hash
+        is byte-identity THROUGH the WET format."""
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from edgar_ray.sources.tier_goldens import corpus_key
+        from edgar_ray.sources.warc import read_wet, write_wet
+
+        d = "/tmp/edgar_ray_wet"
+        os.makedirs(d, exist_ok=True)
+        seg = os.path.join(d, f"{corpus_key(sf)}.wet.gz")
+        if not os.path.exists(seg):
+            t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                              columns=["doc_id", "text"])
+            wet_tbl = pa.table({
+                "url": pa.array([f"https://docs.test/{i}"
+                                 for i in t["doc_id"].to_pylist()]),
+                "text": t["text"]})
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".wet.tmp")
+            os.close(fd)
+            write_wet(wet_tbl, tmp, gzip_records=True)
+            os.replace(tmp, seg)
+
+        def to_docs(t: pa.Table) -> pa.Table:
+            import pyarrow as _pa
+
+            ids = [int(u.rsplit("/", 1)[1]) for u in t["url"].to_pylist()]
+            return _pa.table({"doc_id": _pa.array(ids, _pa.int64()),
+                              "text": t["text"]})
+
+        return read_wet(seg).map_batches(to_docs, batch_format="pyarrow")
+
     def text_parity(sf):
         """Recompute the canonical extracted text from html for every page;
         the DuckDB twin reads the generator's golden ``text`` column, so the
@@ -419,6 +457,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "crawl_live_transport": crawl_live_transport,
         "crawl_text_parity": text_parity,
         "source_warc_pages": source_warc_pages,
+        "source_wet_docs": source_wet_docs,
         "crawl_missing_docs": crawl_missing_docs,
         # Filing query API (/root/reference/edgar.go:18-94) over crawled facts
         "filings_available": filings_available,
@@ -541,6 +580,9 @@ def _crawl_oracle_sql() -> dict[str, str]:
         """,
         "source_warc_pages": f"""
             SELECT url, text FROM read_parquet('{d}/pages.parquet')
+        """,
+        "source_wet_docs": """
+            SELECT doc_id, text FROM documents
         """,
         "crawl_missing_docs": f"""
             SELECT url, missing_docs

@@ -263,3 +263,95 @@ def write_warc(pages: pa.Table, path: str, gzip_records: bool = False,
     with open(path, "wb") as f:
         f.write(b"".join(recs))
     return path
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text sibling of WARC): Common Crawl ships *.warc.wet.gz
+# segments of `WARC-Type: conversion` records whose payload is the page's
+# extracted PLAIN TEXT (no HTTP wrapper). Same container grammar, so the
+# reader reuses the record walker.
+# ---------------------------------------------------------------------------
+
+
+def parse_wet(blob: bytes) -> list[tuple[str, str]]:
+    """WET bytes -> [(url, text)] for conversion records (gzip-multi-member
+    aware, truncation-tolerant — same walker contract as parse_warc)."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = gunzip_members(blob)
+    out: list[tuple[str, str]] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        while pos < n and blob[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = blob.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0 or not blob.startswith(b"WARC/", pos):
+            break
+        headers: dict[str, str] = {}
+        for line in blob[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.decode("latin-1").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        if hdr_end + 4 + length > n:
+            break
+        payload = blob[hdr_end + 4: hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get("warc-type") == "conversion":
+            out.append((headers.get("warc-target-uri", ""),
+                        payload.decode("utf-8", "replace")))
+    return out
+
+
+def _wet_batch_to_docs(t: pa.Table) -> pa.Table:
+    urls: list[str] = []
+    texts: list[str] = []
+    for blob in t["bytes"].to_pylist():
+        for url, text in parse_wet(blob):
+            urls.append(url)
+            texts.append(text)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def read_wet(paths):
+    """WET file(s)/dir -> Dataset(url, text). One task per segment file
+    (the CC unit of work), exactly like read_warc."""
+    import ray.data as rd
+
+    return rd.read_binary_files(paths).map_batches(
+        _wet_batch_to_docs, batch_format="pyarrow", batch_size=1)
+
+
+def wet_record_bytes(url: str, text: str, date: str,
+                     gzip_record: bool = False) -> bytes:
+    payload = text.encode("utf-8")
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: conversion\r\n"
+           b"WARC-Target-URI: " + url.encode() + b"\r\n"
+           b"WARC-Date: " + date.encode() + b"\r\n"
+           b"Content-Type: text/plain\r\n"
+           b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n")
+    rec = hdr + payload + b"\r\n\r\n"
+    if gzip_record:
+        comp = zlib.compressobj(9, zlib.DEFLATED, 31)
+        rec = comp.compress(rec) + comp.flush()
+    return rec
+
+
+def write_wet(docs: pa.Table, path: str, gzip_records: bool = False,
+              ts_default: str = "2024-01-01T00:00:00Z") -> str:
+    """docs table (url, text) -> one minimal WET file (writer for tests
+    and text-only re-sharding pipelines)."""
+    recs = [wet_record_bytes(docs["url"][i].as_py(),
+                             docs["text"][i].as_py() or "",
+                             _row_date(docs, i, ts_default),
+                             gzip_record=gzip_records)
+            for i in range(docs.num_rows)]
+    with open(path, "wb") as f:
+        f.write(b"".join(recs))
+    return path

@@ -155,3 +155,26 @@ def test_warc_sink_auto_segments(tmp_path, ray_session):
                             target_segment_bytes=300_000)
     assert m.num_rows == 4
     assert int(pa.compute.sum(m["n_records"]).as_py()) == 100
+
+
+def test_wet_roundtrip(tmp_path, ray_session):
+    """WET conversion records (the CC extracted-text format): unicode text
+    round-trips byte-identically; truncation keeps the complete prefix."""
+    from edgar_ray.sources.warc import parse_wet, read_wet, write_wet
+
+    docs = pa.table({
+        "url": pa.array([f"https://w.test/{i}" for i in range(6)]),
+        "text": pa.array(["plain ascii", "unicodé 中文 ✓", "", "a\nb\r\nc",
+                          "x" * 5000, "final"], pa.string()),
+    })
+    path = os.path.join(tmp_path, "d.wet.gz")
+    write_wet(docs, path, gzip_records=True)
+    got = read_wet(path).to_pandas().sort_values("url")
+    want = docs.to_pandas().sort_values("url")
+    assert got["text"].tolist() == want["text"].tolist()
+    # truncation tolerance on the uncompressed form
+    raw = os.path.join(tmp_path, "d.wet")
+    write_wet(docs, raw)
+    blob = open(raw, "rb").read()
+    second = blob.find(b"WARC/1.0", 1)
+    assert len(parse_wet(blob[: second + 30])) == 1
